@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: error-corrected tall-skinny QR on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "tsqr_bf16x6_cor_tflops", "value": <TFLOP/s>, "unit": "TFLOP/s",
+   "vs_baseline": <speedup over jnp.linalg.qr on the same chip>}
+
+Config: M=2^22 (falls back to 2^21 if the chip's HBM is contended),
+N=128 (BASELINE.md target shape), bf16x6_cor — the reference's headline
+fp32_tc_cor accuracy class — via the MXU-native corrected CholeskyQR3 fast
+path (core/cholqr.py).  Accuracy is asserted (fp32-grade orthogonality),
+not just timed.  Timing amortizes the ~30 ms tunnel dispatch latency by
+chaining iterations inside one jit (utils/timing.py:time_fn_amortized).
+"""
+
+import gc
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(m: int, n: int) -> dict:
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.harness import flops as flops_mod
+    from tsqr_tpu.utils import timing
+
+    mode = "bf16x6_cor"
+    a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
+
+    def qr_fn(x):
+        return cholqr.fastqr(x, mode, method="cholqr3")
+
+    # accuracy gate first (fp32-grade orthogonality required)
+    q, r = jax.jit(qr_fn)(a)
+    gram = jnp.matmul(q.T, q, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    orth = float(jnp.linalg.norm(gram - jnp.eye(n)) / np.sqrt(n))
+    acc_ok = bool(np.isfinite(orth) and orth < 1e-4)
+    del q, r, gram
+    gc.collect()
+    print(f"bench: m=2^{m.bit_length()-1} n={n} orth={orth:.2e}",
+          file=sys.stderr, flush=True)
+
+    t = timing.time_fn_amortized(qr_fn, a, loops=8, reps=3)
+    fl = flops_mod.qr_flops(m, n)  # useful QR flops, not method flops
+    tflops = fl / t / 1e12
+    print(f"bench: ours t={t*1e3:.2f} ms tflops={tflops:.2f}",
+          file=sys.stderr, flush=True)
+    gc.collect()
+
+    t_base = timing.time_fn_amortized(jnp.linalg.qr, a, loops=2, reps=2)
+    print(f"bench: jnp.linalg.qr t={t_base*1e3:.2f} ms", file=sys.stderr,
+          flush=True)
+
+    return {
+        "metric": "tsqr_bf16x6_cor_tflops",
+        "value": round(tflops, 3) if acc_ok else 0.0,
+        "unit": "TFLOP/s",
+        "vs_baseline": round(t_base / t, 3),
+    }
+
+
+def main():
+    for m in (1 << 22, 1 << 21, 1 << 20):
+        try:
+            result = run(m, 128)
+            break
+        except Exception as e:
+            print(f"bench: m={m} failed ({type(e).__name__}); retrying "
+                  "smaller", file=sys.stderr, flush=True)
+            gc.collect()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

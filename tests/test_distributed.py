@@ -1,0 +1,73 @@
+"""Distributed TSQR/BlockQR on the forced 8-device CPU mesh
+(SURVEY.md §4: multi-node testing via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsqr_tpu.parallel import dtsqr, mesh as mesh_mod
+from tsqr_tpu.utils import validation
+
+
+def _rand(m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(m, n)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return mesh_mod.make_mesh(8)
+
+
+def test_dtsqr_fp32(mesh8):
+    m, n = 4096, 32
+    a = _rand(m, n)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = jax.jit(lambda x: dtsqr.dtsqr(x, mesh8, "fp32", leaf_rows=128))(ax)
+    q, r = np.asarray(q), np.asarray(r)
+    assert q.shape == (m, n) and r.shape == (n, n)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_dtsqr_matches_single_device_R(mesh8):
+    from tsqr_tpu.core import tsqr as tsqr_mod
+    a = _rand(2048, 16, seed=1)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    _, r_d = dtsqr.dtsqr(ax, mesh8, "fp32", leaf_rows=128)
+    _, r_s = tsqr_mod.tsqr(jnp.asarray(a), "fp32", leaf_rows=128)
+    rd, rs = np.asarray(r_d), np.asarray(r_s)
+    s = np.sign(np.diag(rd)) * np.sign(np.diag(rs))
+    np.testing.assert_allclose(rd * s[:, None], rs, rtol=0, atol=1e-4)
+
+
+def test_dqr_blocked_wide(mesh8):
+    m, n = 2048, 96
+    a = _rand(m, n, seed=2)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = jax.jit(lambda x: dtsqr.dqr(x, mesh8, "fp32", panel_width=32,
+                                       leaf_rows=128))(ax)
+    q, r = np.asarray(q), np.asarray(r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-5
+
+
+def test_dqr_reorth(mesh8):
+    a = _rand(1024, 64, seed=3)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = dtsqr.dqr(ax, mesh8, "fp32", panel_width=16, reorth=True,
+                     leaf_rows=128)
+    assert validation.orthogonality(np.asarray(q)) < 5e-6
+    assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-5
+
+
+def test_dtsqr_corrected_mode(mesh8):
+    a = _rand(4096, 16, seed=4)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = dtsqr.dtsqr(ax, mesh8, "bf16x6_cor", leaf_rows=128)
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5

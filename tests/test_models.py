@@ -1,0 +1,61 @@
+"""Application-model tests: randomized SVD, block Lanczos, least squares
+(the BASELINE.json demo configs built on TSQR)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsqr_tpu.models import lanczos, lstsq, rsvd
+
+
+def test_rsvd_low_rank_recovery():
+    rng = np.random.default_rng(0)
+    u = np.linalg.qr(rng.standard_normal((512, 10)))[0]
+    v = np.linalg.qr(rng.standard_normal((64, 10)))[0]
+    s = np.linspace(10, 1, 10)
+    a = (u * s) @ v.T
+    uu, ss, vt = rsvd.rsvd(jnp.asarray(a, jnp.float32), rank=10,
+                           key=jax.random.PRNGKey(0), leaf_rows=128)
+    np.testing.assert_allclose(np.asarray(ss), s, rtol=1e-3)
+    rec = np.asarray(uu) * np.asarray(ss) @ np.asarray(vt)
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-4
+
+
+def test_block_lanczos_eigenvalues():
+    rng = np.random.default_rng(1)
+    n = 128
+    evals = np.linspace(1, 100, n)
+    qfull = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    amat = (qfull * evals) @ qfull.T
+    amat = jnp.asarray((amat + amat.T) / 2, jnp.float32)
+
+    qb, alphas, betas = lanczos.block_lanczos(
+        lambda x: amat @ x, n, block=8, iters=8,
+        key=jax.random.PRNGKey(2), leaf_rows=128)
+    qb = np.asarray(qb, np.float64)
+    # basis must be orthonormal
+    assert np.linalg.norm(qb.T @ qb - np.eye(qb.shape[1])) < 1e-4
+    # Ritz values from the projected matrix approximate extreme eigenvalues
+    t = qb.T @ np.asarray(amat, np.float64) @ qb
+    ritz = np.linalg.eigvalsh(t)
+    assert abs(ritz.max() - 100) / 100 < 0.02
+
+
+def test_lstsq_matches_numpy():
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (256, 32)).astype(np.float32)
+    b = rng.uniform(-1, 1, (256,)).astype(np.float32)
+    x = lstsq.lstsq(jnp.asarray(a), jnp.asarray(b), leaf_rows=128)
+    xg = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                         rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), xg, rtol=0, atol=1e-4)
+
+
+def test_lstsq_multi_rhs():
+    rng = np.random.default_rng(4)
+    a = rng.uniform(-1, 1, (128, 16)).astype(np.float32)
+    b = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    x = lstsq.lstsq(jnp.asarray(a), jnp.asarray(b), leaf_rows=128)
+    xg = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                         rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), xg, rtol=0, atol=1e-4)

@@ -1,0 +1,185 @@
+"""TSQR: communication-avoiding tall-skinny QR as one fused XLA program.
+
+Re-expresses the reference TSQR driver (tsqr.cu:1064-1279) TPU-first:
+
+* The reference round-trips to the host **per tree level** (kernel launches +
+  ``cudaStreamSynchronize`` at tsqr.cu:1112-1260).  Here the whole tree —
+  leaf batched QR, forward R-reduction, final QR, backward Q reconstruction —
+  is Python-unrolled inside a single ``jax.jit``; XLA sees one static graph
+  and schedules it without any host involvement.
+* The reference uses 32-row leaves and a strictly binary tree
+  (``get_batch_size_log2(m) = max(5, ceil(log2 m)) - 5``, tsqr.cu:39-44) with
+  ragged leaf sizes carried in a device list (tsqr.cu:1088-1093).  TPU wants
+  large MXU-aligned tiles, so leaves default to ~512 rows (multiple of the
+  8-sublane fp32 tile) with at most ``leaf_rows``-ish zero padding, and the
+  tree fan-in is configurable (4 or 8 gives (fanin*n, n) node QRs — chunky
+  MXU work and a shallower tree).
+* The forward/backward node products are batched GEMMs routed through the
+  :class:`~tsqr_tpu.modes.Policy` matmul (split-corrected for *_cor modes),
+  i.e. the reference's per-mode WMMA specializations (tsqr.cu:143-1061)
+  collapse into one code path parameterized by the matmul policy.
+
+Zero-padding correctness: QR([A; 0]) = ([Q; 0], R) holds exactly for the
+masked Householder used here — padded rows never enter a reflector, so the
+R factors and the reconstructed Q rows for real data are unaffected, and
+padded Q rows come out exactly 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tsqr_tpu import modes
+from tsqr_tpu.ops import householder
+
+Array = jax.Array
+
+DEFAULT_LEAF_ROWS = 512
+DEFAULT_FANIN = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def plan_tree(m: int, n: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
+              fanin: int = DEFAULT_FANIN) -> tuple[int, int, int]:
+    """Choose (batch_size, leaf_rows, m_padded) for an (m, n) panel.
+
+    ≙ get_batch_size_log2 / sub-m list construction (tsqr.cu:39-44,
+    1088-1093), but with equal MXU-aligned leaves + zero padding instead of
+    ragged leaves, and fan-in a power of two (2/4/8).
+    """
+    assert fanin & (fanin - 1) == 0 and fanin >= 2
+    leaf_rows = max(leaf_rows, _round_up(2 * n, 8))
+    if m <= leaf_rows:
+        mp = _round_up(m, 8)
+        return 1, mp, mp
+    n_leaves = -(-m // leaf_rows)
+    bs = fanin
+    while bs < n_leaves:
+        bs *= fanin
+    # equal leaves, 8-row aligned; padding overhead <= 8*bs rows (< 2 %)
+    L = max(_round_up(-(-m // bs), 8), _round_up(n, 8))
+    return bs, L, bs * L
+
+
+def _pad_rows(a: Array, m_pad: int) -> Array:
+    m = a.shape[0]
+    if m_pad == m:
+        return a
+    return jnp.pad(a, ((0, m_pad - m), (0, 0)))
+
+
+def _batched_qr(a: Array, mm: Callable, block: int) -> tuple[Array, Array]:
+    """QR of a (B, rows, n) batch via vmapped blocked Householder."""
+    fn = functools.partial(householder.blocked_householder_qr, mm=mm,
+                           block=block)
+    return jax.vmap(fn)(a)
+
+
+def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
+    """Batched-QR factory: (B, rows, n) -> (Q (B,rows,n), R (B,n,n))."""
+    if impl == "jnp":
+        return lambda x: _batched_qr(x, policy.mm, block)
+    if impl in ("pallas", "pallas_interpret"):
+        from tsqr_tpu.ops import pallas_panel  # local: keep CPU import light
+
+        def call(x):
+            qt, r = pallas_panel.panel_qr_pallas(
+                x, mode=policy.mode.value, block=block,
+                interpret=(impl == "pallas_interpret"))
+            # transposed-Q output feeds the backward dot_general for free
+            return qt.transpose(0, 2, 1), r
+        return call
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
+                                             "leaf_qr", "impl", "block"))
+def tsqr(a: Array,
+         mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+         leaf_rows: int = DEFAULT_LEAF_ROWS,
+         fanin: int = DEFAULT_FANIN,
+         leaf_qr: Callable | None = None,
+         impl: str = "jnp",
+         block: int = 8) -> tuple[Array, Array]:
+    """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
+
+    ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
+
+    Args:
+      a: (m, n) with m >= n.
+      mode: precision policy (see :mod:`tsqr_tpu.modes`).
+      leaf_rows: target leaf tile height (rounded to MXU-friendly sizes).
+      fanin: tree fan-in (2 = reference binary tree; 8 default for TPU).
+      leaf_qr: optional override for the leaf-level batched QR,
+        signature (B, L, n) -> (Q, R).
+      impl: "jnp" (vmapped blocked Householder), "pallas" (VMEM-resident
+        fused panel kernel, TPU only) or "pallas_interpret" (CPU debugging).
+      block: intra-panel WY block width.
+    """
+    policy = modes.resolve(mode)
+    m, n = a.shape
+    if m < n:
+        raise ValueError(f"tsqr requires m >= n, got {a.shape}")
+    a = a.astype(jnp.float32)
+    mm = policy.mm
+    batched_qr = _make_batched_qr(policy, impl, block)
+    if leaf_qr is None:
+        leaf_qr = batched_qr
+
+    bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)
+    a = _pad_rows(a, m_pad)
+
+    if bs == 1:
+        q, r = leaf_qr(a[None])
+        return q[0, :m].astype(policy.io_dtype), r[0].astype(policy.io_dtype)
+
+    # ---- forward: leaf QR then R-reduction tree (≙ tsqr.cu:1102-1172) ----
+    leaves = a.reshape(bs, L, n)
+    q0, r = leaf_qr(leaves)
+    q0 = q0.astype(policy.work_dtype)
+
+    qs: list[Array] = []
+    widths: list[int] = []
+    while r.shape[0] > 1:
+        b = r.shape[0]
+        f = min(fanin, b)
+        stacked = r.reshape(b // f, f * n, n)
+        qk, r = batched_qr(stacked)
+        qs.append(qk.astype(policy.work_dtype))
+        widths.append(f)
+
+    r_out = jnp.triu(r[0])
+
+    # ---- backward: Q reconstruction down the tree (≙ tsqr.cu:1205-1259) --
+    # c starts as the root Q reshaped into per-child n x n blocks.
+    c = qs[-1].astype(jnp.float32)  # (1, f*n, n)
+    c = c.reshape(widths[-1], n, n)
+    for qk, f in zip(reversed(qs[:-1]), reversed(widths[:-1])):
+        prod = mm(qk.astype(jnp.float32), c)          # (bk, f*n, n)
+        c = prod.reshape(prod.shape[0] * f, n, n)
+    q = mm(q0.astype(jnp.float32), c)                 # (bs, L, n)
+    q = q.reshape(m_pad, n)[:m]
+    return q.astype(policy.io_dtype), r_out.astype(policy.io_dtype)
+
+
+def working_memory_elems(m: int, n: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
+                         fanin: int = DEFAULT_FANIN) -> int:
+    """Peak intermediate elements of the fused tree, for the speed harness
+    (≙ wq = n*m + 2n^2(bs-1), wr = 1.5 n^2 bs, tsqr.cu:47-60)."""
+    bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)
+    wq = m_pad * n  # leaf Q
+    b = bs
+    while b > 1:
+        f = min(fanin, b)
+        wq += (b // f) * f * n * n  # each level's Q factors
+        b //= f
+    wr = 2 * bs * n * n  # ping-pong R buffers (XLA may alias; upper bound)
+    return wq + wr

@@ -1,0 +1,56 @@
+"""Sweep driver ≙ reference src/main.cu: runs the accuracy grid, the
+cond sweep and (optionally) the speed sweep, printing a provenance banner
+first (≙ runtime_status banners, main.cu:90-93).
+
+Usage:
+  python -m tsqr_tpu.harness.main accuracy [--quick]
+  python -m tsqr_tpu.harness.main speed [--quick]
+  python -m tsqr_tpu.harness.main cond [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tsqr_tpu.utils import status
+
+# reference sweep: m = 2^10..2^15, n = 2^10..min(2^m-ish) (main.cu:95-102);
+# cond sweep m=2^15 n=2^7 kappa=2^2..2^15 (main.cu:104-112)
+FULL_MS = [1 << k for k in range(10, 16)]
+FULL_NS = [1 << k for k in range(4, 11)]
+MODES = ["fp32", "bf16_nocor", "bf16x3_nocor", "bf16x3_cor", "bf16x6_cor"]
+QUICK_MS = [1 << 12]
+QUICK_NS = [16, 128]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("which", choices=["accuracy", "speed", "cond"])
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--modes", nargs="*", default=MODES)
+    p.add_argument("--trials", type=int, default=None)
+    args = p.parse_args(argv)
+
+    status.print_banner(file=sys.stderr)
+    ms = QUICK_MS if args.quick else FULL_MS
+    ns = QUICK_NS if args.quick else FULL_NS
+
+    if args.which == "accuracy":
+        from tsqr_tpu.harness import accuracy
+        accuracy.sweep(ms, ns, args.modes,
+                       trials=args.trials or (4 if args.quick else 16))
+    elif args.which == "speed":
+        from tsqr_tpu.harness import speed
+        speed.sweep(ms, ns, args.modes)
+    else:
+        from tsqr_tpu.harness import cond
+        conds = ([2.0 ** k for k in (2, 8)] if args.quick
+                 else [2.0 ** k for k in range(2, 16)])
+        m, n = ((1 << 12, 64) if args.quick else (1 << 15, 1 << 7))
+        cond.sweep(m, n, conds, args.modes,
+                   trials=args.trials or (2 if args.quick else 4))
+
+
+if __name__ == "__main__":
+    main()

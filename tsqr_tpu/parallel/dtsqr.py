@@ -1,0 +1,155 @@
+"""Distributed TSQR / BlockQR over a 1-D device mesh (shard_map + ICI).
+
+No reference analogue exists (the reference is single-GPU; SURVEY.md §5
+'distributed communication backend: none').  This module is the
+BASELINE.json north-star extension: the top log2(n_chips) levels of the
+TSQR R-tree run over the interconnect.
+
+Design (communication-avoiding, latency-bound payloads):
+
+  * the (m, n) operand is row-sharded: each chip owns an (m/D, n) shard;
+  * forward: each chip runs the fused local TSQR (one XLA program) on its
+    shard -> (Q_local, R_local);
+  * cross-chip: ``all_gather`` of the D tiny (n, n) R factors (D*n^2
+    elements -- e.g. 8 chips x 128^2 fp32 = 512 KiB total) and a
+    *redundant* small QR of the stacked (D*n, n) on every chip.  For the
+    pod sizes this library targets, one all-gather beats a pairwise
+    ppermute tree: the payload is latency-bound either way and the
+    redundant QR removes the Q-broadcast round-trip entirely;
+  * backward: chip d multiplies its local Q by its own (n, n) block of the
+    tree Q -- no further communication.
+
+Total bytes on ICI per factorization: D * n^2 * 4 (one all-gather),
+independent of m.  That is the communication-optimal TSQR bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tsqr_tpu import modes
+from tsqr_tpu.core import tsqr as tsqr_mod
+from tsqr_tpu.ops import householder
+from tsqr_tpu.parallel.mesh import ROWS_AXIS
+
+Array = jax.Array
+
+
+def _local_policy(policy: modes.Policy) -> modes.Policy:
+    """Keep fp32 IO inside the distributed composition."""
+    return modes.Policy(policy.mode, jnp.float32, policy.work_dtype,
+                        policy.mm, policy.corrected)
+
+
+def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
+                n_dev: int, **tsqr_kw) -> tuple[Array, Array]:
+    """Per-shard body: local tree + ICI R-reduction + local Q update."""
+    n = a_shard.shape[1]
+    mm = policy.mm
+    q_loc, r_loc = tsqr_mod.tsqr(a_shard, _local_policy(policy), **tsqr_kw)
+    # ---- cross-chip R-tree: one all-gather of (n, n) factors ----
+    rs = lax.all_gather(r_loc.astype(jnp.float32), axis, axis=0,
+                        tiled=True)                      # (D*n, n)
+    q_tree, r_top = householder.blocked_householder_qr(rs, mm=mm)
+    idx = lax.axis_index(axis)
+    c = lax.dynamic_slice(q_tree, (idx * n, 0), (n, n))   # my (n, n) block
+    q_shard = mm(q_loc.astype(jnp.float32), c)
+    return q_shard, r_top
+
+
+def dtsqr(a: Array, mesh: Mesh,
+          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+          axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
+    """Distributed thin QR of a row-sharded (m, n): Q row-sharded like A,
+    R (n, n) replicated."""
+    policy = modes.resolve(mode)
+    n_dev = mesh.shape[axis]
+    m, n = a.shape
+    assert m % n_dev == 0, f"m={m} must divide over {n_dev} devices"
+    assert m // n_dev >= n, "each shard must stay tall"
+
+    fn = shard_map(
+        functools.partial(_tsqr_shard, policy=policy, axis=axis,
+                          n_dev=n_dev, **tsqr_kw),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P()),
+        check_rep=False,
+    )
+    q, r = fn(a.astype(jnp.float32))
+    return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
+
+
+def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
+                    panel_width: int, reorth: bool,
+                    **tsqr_kw) -> tuple[Array, Array]:
+    """Per-shard BlockQR: trailing GEMMs need a psum over the row axis
+    (Q^T A_b is a contraction over the sharded m dimension); everything
+    else is local.  ≙ block_qr_core / _reorthogonalization_core
+    (blockqr.cu:45-390) with cuBLAS GEMMs replaced by psum-reduced local
+    GEMMs and TSQR replaced by the ICI tree above."""
+    mm = policy.mm
+    m_loc, n = a_shard.shape
+    nb = min(panel_width, n)
+    n_blocks = -(-n // nb)
+
+    def _tsqr_local(x):
+        return _tsqr_shard(x, policy, axis, 0, **tsqr_kw)
+
+    q = jnp.zeros((m_loc, n), jnp.float32)
+    r = jnp.zeros((n, n), jnp.float32)
+    for b in range(n_blocks):
+        c0 = b * nb
+        w = min(nb, n - c0)
+        a_b = a_shard[:, c0:c0 + w]
+        if b == 0:
+            q_b, r22 = _tsqr_local(a_b)
+        else:
+            q_prev = q[:, :c0]
+            r12 = lax.psum(mm(q_prev.T, a_b), axis)
+            a_p = a_b - mm(q_prev, r12)
+            if not reorth:
+                q_b, r22 = _tsqr_local(a_p)
+            else:
+                q_b, r2 = _tsqr_local(a_p)
+                s2 = lax.psum(mm(q_prev.T, q_b), axis)
+                q_b = q_b - mm(q_prev, s2)
+                q_b, w_fac = _tsqr_local(q_b)
+                r12 = r12 + mm(s2, r2)
+                r22 = mm(w_fac, r2)
+            r = lax.dynamic_update_slice(r, r12, (0, c0))
+        q = lax.dynamic_update_slice(q, q_b.astype(jnp.float32), (0, c0))
+        r = lax.dynamic_update_slice(r, r22.astype(jnp.float32), (c0, c0))
+    return q, jnp.triu(r)
+
+
+def dqr(a: Array, mesh: Mesh,
+        mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+        reorth: bool = False, panel_width: int = 128,
+        axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
+    """Distributed BlockQR of a row-sharded (m, n), n can exceed the panel
+    width: Q row-sharded, R replicated.  ≙ mtk::qr::qr lifted to a mesh."""
+    policy = modes.resolve(mode)
+    n_dev = mesh.shape[axis]
+    m, n = a.shape
+    if n > m:
+        raise ValueError(f"BlockQR requires m >= n, got {a.shape}")
+    assert m % n_dev == 0 and m // n_dev >= min(panel_width, n)
+
+    fn = shard_map(
+        functools.partial(_dblockqr_shard, policy=policy, axis=axis,
+                          panel_width=panel_width, reorth=reorth, **tsqr_kw),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P()),
+        check_rep=False,
+    )
+    q, r = fn(a.astype(jnp.float32))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)

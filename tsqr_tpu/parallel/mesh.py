@@ -1,0 +1,35 @@
+"""Device-mesh helpers for the distributed TSQR/BlockQR layer.
+
+The reference is a single-GPU library with no communication backend
+(SURVEY.md §2 'parallelism strategies'); the TPU build's distributed story
+is TSQR's own communication-avoiding structure: shard the tall m axis over
+a 1-D mesh, run the local tree per chip, and reduce the tiny n x n R
+factors over ICI (all-gather / psum-tree), then broadcast the Q correction
+back down — exactly the top log2(n_chips) levels of the reference's
+R-tree (tsqr.cu:1121-1159) lifted onto the interconnect.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROWS_AXIS = "rows"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS) -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def row_sharding(mesh: Mesh, axis: str = ROWS_AXIS) -> NamedSharding:
+    """Sharding for an (m, n) operand: rows split over the mesh axis."""
+    return NamedSharding(mesh, P(axis, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

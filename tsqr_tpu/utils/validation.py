@@ -1,0 +1,103 @@
+"""Accuracy metrics: orthogonality, residual, exponent histograms.
+
+≙ reference src/validation.{hpp,cu}: orthogonality ||Q^T Q - I||_F / sqrt(n)
+computed in fp64 (validation.cu:43-80), diagonal/off-diagonal split
+(validation.cu:86-127), 16x16-block heatmap (validation.cu:133-181),
+per-tree-node check (validation.cu:187-209), and the floating-point
+exponent histogram used for the underflow studies (validation.cu:18-40,
+214-237).  TPU note: device fp64 is unavailable/slow on TPU, so metrics are
+computed in fp64 on host via numpy (the tests' golden path) or in fp32 with
+compensated accumulation on device (fast path for the speed harness).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def orthogonality(q) -> float:
+    """||Q^T Q - I||_F / sqrt(n), fp64 on host (≙ check_orthogonality16,
+    validation.cu:43-80)."""
+    q = np.asarray(q, dtype=np.float64)
+    n = q.shape[1]
+    g = q.T @ q - np.eye(n)
+    return float(np.linalg.norm(g) / np.sqrt(n))
+
+
+def orthogonality_each(q) -> tuple[float, float]:
+    """(diagonal, off-diagonal) parts of ||Q^T Q - I||_F / sqrt(n)
+    (≙ check_orthogonality16_each, validation.cu:86-127)."""
+    q = np.asarray(q, dtype=np.float64)
+    n = q.shape[1]
+    g = q.T @ q - np.eye(n)
+    d = np.diag(np.diag(g))
+    off = g - d
+    s = np.sqrt(n)
+    return float(np.linalg.norm(d) / s), float(np.linalg.norm(off) / s)
+
+
+def submatrix_orthogonality(q, tile: int = 16) -> np.ndarray:
+    """Per-(tile x tile)-block F-norms of Q^T Q - I, the block heatmap
+    (≙ check_submatrix_orthogonality, validation.cu:133-181)."""
+    q = np.asarray(q, dtype=np.float64)
+    n = q.shape[1]
+    g = q.T @ q - np.eye(n)
+    nt = -(-n // tile)
+    out = np.zeros((nt, nt))
+    for i in range(nt):
+        for j in range(nt):
+            blk = g[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile]
+            out[i, j] = np.linalg.norm(blk)
+    return out
+
+
+def multi_orthogonality(qs) -> float:
+    """Worst orthogonality over a batch of tree-node Q factors
+    (≙ multi_orthogonality, validation.cu:187-209)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    return max(orthogonality(qs[i]) for i in range(qs.shape[0]))
+
+
+def residual(a, q, r) -> float:
+    """Relative residual ||A - QR||_F / ||A||_F, fp64 on host
+    (≙ test.cu:147-165)."""
+    a = np.asarray(a, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    return float(np.linalg.norm(a - q @ r) / np.linalg.norm(a))
+
+
+def orthogonality_device(q: Array) -> Array:
+    """On-device fp32 orthogonality (speed-harness variant)."""
+    q = q.astype(jnp.float32)
+    n = q.shape[1]
+    g = jnp.matmul(q.T, q, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32) - jnp.eye(n)
+    return jnp.linalg.norm(g) / jnp.sqrt(n)
+
+
+def residual_device(a: Array, q: Array, r: Array) -> Array:
+    """On-device fp32 relative residual (speed-harness variant)."""
+    a = a.astype(jnp.float32)
+    d = a - jnp.matmul(q.astype(jnp.float32), r.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    return jnp.linalg.norm(d) / jnp.linalg.norm(a)
+
+
+def exponent_distribution(x, name: str = "") -> dict[int, int]:
+    """Histogram of binary exponents of the (finite, nonzero) elements
+    (≙ exponent_distribution, validation.cu:18-40, 214-237 — used for the
+    fp16-underflow studies; on TPU bf16 shares fp32's exponent range so
+    this is a validation study, not a correctness gate)."""
+    x = np.asarray(x, dtype=np.float32).ravel()
+    x = x[np.isfinite(x) & (x != 0)]
+    if x.size == 0:
+        return {}
+    exps = np.frexp(x)[1] - 1  # binary exponent
+    vals, counts = np.unique(exps, return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}
