@@ -72,8 +72,9 @@ def main():
             result = run(m, 128)
             break
         except Exception as e:
-            print(f"bench: m={m} failed ({type(e).__name__}); retrying "
-                  "smaller", file=sys.stderr, flush=True)
+            print(f"bench: m={m} failed ({type(e).__name__}: "
+                  f"{str(e)[:160]}); retrying smaller", file=sys.stderr,
+                  flush=True)
             gc.collect()
     print(json.dumps(result))
 

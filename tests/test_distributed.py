@@ -64,6 +64,28 @@ def test_dqr_reorth(mesh8):
     assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-5
 
 
+@pytest.mark.parametrize("method", ["cholqr2", "cholqr3"])
+def test_dcholqr(mesh8, method):
+    m, n = 2048, 32
+    a = _rand(m, n, seed=5)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = jax.jit(lambda x: dtsqr.dcholqr(x, mesh8, "fp32",
+                                           method=method))(ax)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_dcholqr_corrected(mesh8):
+    a = _rand(4096, 64, seed=6)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = dtsqr.dcholqr(ax, mesh8, "bf16x6_cor", method="cholqr2")
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
+
+
 def test_dtsqr_corrected_mode(mesh8):
     a = _rand(4096, 16, seed=4)
     ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))

@@ -1,0 +1,79 @@
+"""Harness smoke tests: accuracy/speed/cond rows, comparators, flops model,
+experimental underflow study (reference components #9-#12)."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsqr_tpu.harness import accuracy, compare, cond, flops, speed
+from tsqr_tpu.utils import experimental
+
+
+def test_accuracy_row_and_csv():
+    row = accuracy.accuracy_row(256, 32, "fp32", trials=2, leaf_rows=128)
+    assert row["residual"] < 1e-6 and row["orthogonality"] < 1e-5
+    line = accuracy.format_row(row)
+    assert line.startswith("256,32,") and "fp32" in line
+    out = io.StringIO()
+    rows = accuracy.sweep([128], [16], ["fp32"], trials=1, out=out,
+                          leaf_rows=128)
+    text = out.getvalue()
+    assert text.splitlines()[0] == accuracy.CSV_HEADER
+    assert len(rows) == 1
+
+
+def test_speed_row():
+    row = speed.speed_row(512, 32, "fp32", trials=2, leaf_rows=128,
+                          panel_width=32)
+    assert row["elapsed_time"] > 0
+    assert row["tflops"] > 0
+    assert row["working_memory_size"] > 512 * 32 * 4
+
+
+def test_cond_row():
+    row = cond.cond_row(512, 16, 100.0, "fp32", trials=1, leaf_rows=128)
+    assert row["measured_condition"] >= 90.0
+    assert row["residual"] < 1e-5
+
+
+def test_compare_modes():
+    d = compare.compare_modes(512, 32, "fp32", "bf16x6_cor", leaf_rows=128)
+    assert d["r_max_rel_diff"] < 1e-2  # same algorithm, close precision
+
+
+def test_compare_to_fp64_golden():
+    d = compare.compare_to_fp64_golden(512, 16, "fp32", leaf_rows=128,
+                                       panel_width=16)
+    # sign-insensitive diff of R against LAPACK fp64 — diagonal entries
+    # match to fp32 roundoff; small off-diag entries can differ relatively
+    assert d["r_max_rel_diff"] < 1.0
+
+
+def test_flops_model_sane():
+    f1 = flops.tsqr_flops(1 << 16, 16)
+    f2 = flops.tsqr_flops(1 << 17, 16)
+    assert 1.8 < f2 / f1 < 2.3  # ~linear in m
+    fb = flops.blockqr_flops(1 << 14, 64, panel_width=16)
+    assert fb > flops.tsqr_flops(1 << 14, 16) * 4  # 4 panels + trailing
+
+
+def test_min_exponent_and_range_clamp():
+    x = jnp.asarray(np.array([1.0, 1e-8, -1e-3, 70000.0], np.float32))
+    y = np.asarray(experimental.min_exponent(x, -10))
+    assert y[0] == 1.0 and y[1] == 0.0 and y[2] == -1e-3
+    z = np.asarray(experimental.clamp_exponent_range(x, -14, 15))
+    assert z[3] == 2.0 ** 15  # clamped to fp16-representable max scale
+    assert z[1] == 0.0
+
+
+def test_fp16_range_study_runs():
+    from tsqr_tpu.core import tsqr as tsqr_mod
+    a = jnp.asarray(np.random.default_rng(0)
+                    .uniform(-1, 1, (256, 16)).astype(np.float32) * 1e-3)
+    out = experimental.fp16_range_study(
+        a, lambda x: tsqr_mod.tsqr(x, "fp32", leaf_rows=128))
+    assert out["orthogonality"] < 1e-5
+    assert np.isfinite(out["orthogonality_fp16_range"])
+    assert out["exponent_hist"]

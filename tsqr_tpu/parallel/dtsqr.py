@@ -130,6 +130,64 @@ def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     return q, jnp.triu(r)
 
 
+def _dcholqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
+                   method: str) -> tuple[Array, Array]:
+    """Per-shard CholeskyQR: G = psum(A_loc^T A_loc) — the Gram reduction
+    IS the communication-avoiding step (one (n, n) allreduce replaces the
+    whole R-tree); everything else is local MXU GEMMs."""
+    from tsqr_tpu.core import cholqr
+
+    mm = policy.mm
+    n = a_shard.shape[1]
+
+    def gram_psum(x):
+        return lax.psum(modes.gram(x, policy), axis)
+
+    g = gram_psum(a_shard)
+    if method == "cholqr3":
+        m_glob = a_shard.shape[0] * lax.psum(1, axis)
+        eps = jnp.float32(6.0e-8)
+        shift = 11.0 * (m_glob * n + n * (n + 1)) * eps * jnp.trace(g)
+        r1 = cholqr._chol_r(g, shift=shift)
+    else:
+        r1 = cholqr._chol_r(g)
+    q1 = cholqr._q_pass(a_shard, r1, mm)
+    g2 = gram_psum(q1)
+    r2 = cholqr._chol_r(g2)
+    q2 = cholqr._q_pass(q1, r2, mm)
+    r = modes.mm_fp32(r2, r1)
+    if method == "cholqr3":
+        g3 = gram_psum(q2)
+        r3 = cholqr._chol_r(g3)
+        q2 = cholqr._q_pass(q2, r3, mm)
+        r = modes.mm_fp32(r3, r)
+    return q2, jnp.triu(r)
+
+
+def dcholqr(a: Array, mesh: Mesh,
+            mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+            method: str = "cholqr3",
+            axis: str = ROWS_AXIS) -> tuple[Array, Array]:
+    """Distributed MXU-native tall-skinny QR of a row-sharded (m, n):
+    Q row-sharded like A, R (n, n) replicated.  Communication: two or
+    three (n, n) psums total, independent of m."""
+    policy = modes.resolve(mode)
+    n_dev = mesh.shape[axis]
+    m, n = a.shape
+    assert m % n_dev == 0 and m // n_dev >= n
+
+    fn = shard_map(
+        functools.partial(_dcholqr_shard, policy=policy, axis=axis,
+                          method=method),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P()),
+        check_rep=False,
+    )
+    q, r = fn(a.astype(jnp.float32))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
 def dqr(a: Array, mesh: Mesh,
         mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
         reorth: bool = False, panel_width: int = 128,
