@@ -63,3 +63,38 @@ def test_cholqr_matches_householder_R():
     r1, r2 = np.asarray(r1), np.asarray(r2)
     s = np.sign(np.diag(r1)) * np.sign(np.diag(r2))
     np.testing.assert_allclose(r1 * s[:, None], r2, rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("method", ["cholqr2_fused", "cholqr3_fused"])
+def test_fused_pallas_interpret(method):
+    # streaming Pallas kernels, interpreter mode on CPU
+    from tsqr_tpu.core.cholqr import _METHODS
+    a = _rand(2100, 64, seed=4)  # non-multiple of chunk: exercises padding
+    q, r = _METHODS[method](jnp.asarray(a), "fp32", interpret=True)
+    q, r = np.asarray(q), np.asarray(r)
+    assert q.shape == (2100, 64)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_fused_corrected_interpret():
+    from tsqr_tpu.core.cholqr import cholqr2_fused
+    a = _rand(2048, 32, seed=5)
+    q, r = cholqr2_fused(jnp.asarray(a), "bf16x6_cor", interpret=True)
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
+
+
+def test_gram_pallas_matches_modes_gram():
+    from tsqr_tpu.ops import pallas_gram
+    from tsqr_tpu import modes as modes_mod
+    a = _rand(1500, 48, seed=6)
+    for mode in ["fp32", "bf16x6_cor"]:
+        g1 = np.asarray(pallas_gram.gram_pallas(jnp.asarray(a), mode,
+                                                chunk=512, interpret=True))
+        g2 = np.asarray(modes_mod.gram(jnp.asarray(a),
+                                       modes_mod.resolve(mode)))
+        np.testing.assert_allclose(g1, g2, rtol=0,
+                                   atol=5e-5 * np.abs(g2).max())

@@ -110,12 +110,71 @@ def cholqr3(a: Array,
     return q2.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
-_METHODS = {"cholqr2": cholqr2, "cholqr3": cholqr3}
+def _rinv(r: Array) -> Array:
+    n = r.shape[-1]
+    return jax.scipy.linalg.solve_triangular(
+        r, jnp.eye(n, dtype=r.dtype), lower=False)
+
+
+def cholqr2_fused(a: Array,
+                  mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                  interpret: bool = False) -> tuple[Array, Array]:
+    """CholeskyQR2 on the streaming Pallas kernels: reads A twice, writes
+    Q1/Q2 once each — the HBM-roofline implementation (see
+    ops/pallas_gram.py)."""
+    from tsqr_tpu.ops import pallas_gram
+
+    policy = modes.resolve(mode)
+    mname = policy.mode.value
+    a = a.astype(jnp.float32)
+    g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
+    r1 = _chol_r(g)
+    q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
+                                      interpret=interpret, with_gram=True)
+    r2 = _chol_r(g2)
+    q = pallas_gram.qpass_pallas(q1, _rinv(r2), mname, interpret=interpret,
+                                 with_gram=False)
+    r = jnp.triu(modes.mm_fp32(r2, r1))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
+def cholqr3_fused(a: Array,
+                  mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                  interpret: bool = False) -> tuple[Array, Array]:
+    """Shifted CholeskyQR3 on the streaming kernels."""
+    from tsqr_tpu.ops import pallas_gram
+
+    policy = modes.resolve(mode)
+    mname = policy.mode.value
+    a = a.astype(jnp.float32)
+    m, n = a.shape
+    g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
+    eps = jnp.float32(6.0e-8)
+    shift = 11.0 * (m * n + n * (n + 1)) * eps * jnp.trace(g)
+    r1 = _chol_r(g, shift=shift)
+    q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
+                                      interpret=interpret, with_gram=True)
+    r2 = _chol_r(g2)
+    q2, g3 = pallas_gram.qpass_pallas(q1, _rinv(r2), mname,
+                                      interpret=interpret, with_gram=True)
+    r3 = _chol_r(g3)
+    q = pallas_gram.qpass_pallas(q2, _rinv(r3), mname, interpret=interpret,
+                                 with_gram=False)
+    r = jnp.triu(modes.mm_fp32(r3, modes.mm_fp32(r2, r1)))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
+_METHODS = {"cholqr2": cholqr2, "cholqr3": cholqr3,
+            "cholqr2_fused": cholqr2_fused, "cholqr3_fused": cholqr3_fused}
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "method"))
 def fastqr(a: Array,
            mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
            method: str = "cholqr3") -> tuple[Array, Array]:
-    """MXU-native tall-skinny QR (single jit entry point)."""
+    """MXU-native tall-skinny QR (single jit entry point).
+
+    methods: cholqr2 / cholqr3 (pure XLA) and cholqr2_fused /
+    cholqr3_fused (streaming Pallas kernels, TPU only).
+    """
     return _METHODS[method](a, mode)
