@@ -70,3 +70,22 @@ def test_blockqr_corrected_mode_readme_sample():
     q, r = np.asarray(q, np.float64), np.asarray(r, np.float64)
     assert validation.residual(a, q, r) < 1e-5
     assert validation.orthogonality(q) < 1e-5
+
+
+def test_blockqr_cholqr_panels():
+    # MXU-native production config: CholQR panels inside BlockQR
+    a = _rand(2048, 96, seed=4)
+    q, r = tsqr_tpu.qr(a, "fp32", panel_width=32, panel_method="cholqr2",
+                       leaf_rows=256)
+    q, r = np.asarray(q), np.asarray(r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-5
+
+
+def test_blockqr_cholqr_panels_corrected_reorth():
+    a = _rand(4096, 64, seed=5)
+    q, r = tsqr_tpu.qr(a, "bf16x6_cor", panel_width=16, reorth=True,
+                       panel_method="cholqr3")
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5

@@ -39,7 +39,8 @@ REFERENCE_PANEL_WIDTH = 16  # ≙ mtk::qr::tsqr_colmun_size, blockqr.hpp:25
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mode", "reorth", "panel_width", "leaf_rows", "fanin", "impl", "leaf_qr"))
+    "mode", "reorth", "panel_width", "leaf_rows", "fanin", "impl",
+    "leaf_qr", "panel_method"))
 def qr(a: Array,
        mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
        reorth: bool = False,
@@ -47,10 +48,17 @@ def qr(a: Array,
        leaf_rows: int = tsqr_mod.DEFAULT_LEAF_ROWS,
        fanin: int = tsqr_mod.DEFAULT_FANIN,
        impl: str = "jnp",
-       leaf_qr: Callable | None = None) -> tuple[Array, Array]:
+       leaf_qr: Callable | None = None,
+       panel_method: str = "tsqr") -> tuple[Array, Array]:
     """Thin QR of any (m, n) matrix with m >= n: returns (Q (m,n), R (n,n)).
 
     ≙ mtk::qr::qr<mode, Reorth> (blockqr.hpp:142-175).
+
+    panel_method: "tsqr" (Householder tree, reference semantics) or one of
+    the CholeskyQR methods "cholqr2"/"cholqr3"/"cholqr2_fused"/
+    "cholqr3_fused" — the MXU-native production path (panels after the
+    trailing-update projection are well-conditioned, so CholQR's kappa
+    limits are rarely binding inside BlockQR).
     """
     policy = modes.resolve(mode)
     m, n = a.shape
@@ -62,12 +70,18 @@ def qr(a: Array,
     nb = panel_width or min(n, DEFAULT_PANEL_WIDTH)
     nb = min(nb, n)
 
-    def _tsqr(x):
-        return tsqr_mod.tsqr(x, modes.Policy(policy.mode, jnp.float32,
-                                             policy.work_dtype, mm,
-                                             policy.corrected),
-                             leaf_rows=leaf_rows, fanin=fanin,
-                             impl=impl, leaf_qr=leaf_qr)
+    fp32_policy = modes.Policy(policy.mode, jnp.float32, policy.work_dtype,
+                               mm, policy.corrected)
+
+    if panel_method == "tsqr":
+        def _tsqr(x):
+            return tsqr_mod.tsqr(x, fp32_policy, leaf_rows=leaf_rows,
+                                 fanin=fanin, impl=impl, leaf_qr=leaf_qr)
+    else:
+        from tsqr_tpu.core import cholqr as cholqr_mod
+
+        def _tsqr(x):
+            return cholqr_mod._METHODS[panel_method](x, fp32_policy)
 
     if n <= nb:
         q, r = _tsqr(a)
