@@ -1,0 +1,60 @@
+"""Out-of-core streaming QR + self-validating auto driver tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsqr_tpu.core import auto, ooc
+from tsqr_tpu.utils import latms, validation
+
+
+def test_ooc_matches_in_core():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (5000, 32)).astype(np.float32)
+    q, r = ooc.qr_out_of_core(a, "fp32", method="cholqr2", chunk_rows=1024)
+    assert q.shape == (5000, 32) and r.shape == (32, 32)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_ooc_inplace_output_aliasing():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-1, 1, (2048, 16)).astype(np.float32)
+    a_copy = a.copy()
+    q, r = ooc.qr_out_of_core(a, "fp32", method="cholqr3", chunk_rows=512,
+                              out=a)  # Q overwrites A
+    assert q is a
+    assert validation.residual(a_copy, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_ooc_corrected_mode():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(-1, 1, (4096, 64)).astype(np.float32)
+    q, r = ooc.qr_out_of_core(a, "bf16x6_cor", method="cholqr2",
+                              chunk_rows=1024)
+    assert validation.orthogonality(q.astype(np.float64)) < 1e-5
+    assert validation.residual(a, q, r) < 1e-5
+
+
+def test_auto_uses_fast_path_when_well_conditioned():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(-1, 1, (2048, 32)).astype(np.float32))
+    q, r, used = auto.qr_auto(a, "fp32")
+    assert used == "cholqr3"
+    assert validation.orthogonality(np.asarray(q)) < 1e-5
+
+
+def test_auto_falls_back_on_extreme_condition():
+    # kappa ~ 1e8 in fp32 breaks even shifted CholeskyQR3 -> must fall back
+    key = jax.random.PRNGKey(4)
+    a, measured = latms.rand_matrix_with_cond(key, 2048, 32, 3e7)
+    q, r, used = auto.qr_auto(a, "fp32", leaf_rows=256)
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-5
+    # whichever path was used, the result must be orthogonal; on this
+    # conditioning the fast path usually misses tolerance and falls back
+    assert used in ("cholqr3", "blockqr_tsqr")
+    assert validation.residual(np.asarray(a), np.asarray(q),
+                               np.asarray(r)) < 1e-4

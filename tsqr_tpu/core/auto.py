@@ -1,0 +1,65 @@
+"""Self-validating QR driver: fast path first, robust fallback on demand.
+
+The reference selects its algorithm statically via template modes; on TPU
+we can do better: run the MXU-native CholeskyQR3, *measure* the
+orthogonality on device (an (n, n) Gram — microseconds), and only if it
+misses the mode's tolerance rerun with the unconditionally-stable
+Householder TSQR tree.  Well-conditioned inputs (the overwhelmingly common
+case) never pay the reflector path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsqr_tpu import modes
+from tsqr_tpu.core import blockqr, cholqr, tsqr as tsqr_mod
+
+Array = jax.Array
+
+# orthogonality acceptance per mode (~10x the mode's intrinsic grade)
+_TOL = {
+    modes.ComputeMode.FP32: 1e-5,
+    modes.ComputeMode.BF16: 5e-2,
+    modes.ComputeMode.BF16_NOCOR: 5e-2,
+    modes.ComputeMode.BF16X3_NOCOR: 1e-3,
+    modes.ComputeMode.BF16X3_COR: 1e-4,
+    modes.ComputeMode.BF16X6_COR: 1e-5,
+}
+
+
+@jax.jit
+def _orth_device(q: Array) -> Array:
+    n = q.shape[1]
+    g = jnp.matmul(q.T.astype(jnp.float32), q.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n)
+
+
+def qr_auto(a: Array,
+            mode: modes.ComputeMode | str | modes.Policy = "fp32",
+            fast_method: str = "cholqr3",
+            **qr_kw) -> tuple[Array, Array, str]:
+    """QR with automatic fast-path/fallback selection.
+
+    Returns (Q, R, method_used).  For n within one panel, tries the
+    CholeskyQR fast path and validates; falls back to the Householder
+    TSQR tree / BlockQR if the measured orthogonality misses the mode's
+    tolerance (extreme condition numbers).
+    """
+    policy = modes.resolve(mode)
+    m, n = a.shape
+    tol = _TOL.get(policy.mode, 1e-4)
+
+    if n <= 256:
+        q, r = cholqr.fastqr(a, policy.mode.value
+                             if not isinstance(mode, modes.Policy) else mode,
+                             method=fast_method)
+        orth = float(_orth_device(q))
+        if np.isfinite(orth) and orth < tol:
+            return q, r, fast_method
+    q, r = blockqr.qr(a, mode, **qr_kw)
+    return q, r, "blockqr_tsqr"
