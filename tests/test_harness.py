@@ -77,3 +77,20 @@ def test_fp16_range_study_runs():
     assert out["orthogonality"] < 1e-5
     assert np.isfinite(out["orthogonality_fp16_range"])
     assert out["exponent_hist"]
+
+
+def test_eval_q_row():
+    from tsqr_tpu.harness import eval_q
+    row = eval_q.eval_q_row(512, 32, "fp32", leaf_rows=128)
+    assert row["diag"] < 1e-5 and row["offdiag"] < 1e-5
+    assert "fp32" in eval_q.format_row(row)
+
+
+def test_blockqr_breakdown_runs():
+    import io
+    from tsqr_tpu.harness import profile
+    buf = io.StringIO()
+    res = profile.blockqr_breakdown(1024, 64, "fp32", panel_width=32,
+                                    leaf_rows=128, out=buf)
+    assert res["total_s"] > 0
+    assert "breakdown" in buf.getvalue()

@@ -170,16 +170,44 @@ def tsqr(a: Array,
     return q.astype(policy.io_dtype), r_out.astype(policy.io_dtype)
 
 
+def get_batch_size(m: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
+                   fanin: int = DEFAULT_FANIN) -> int:
+    """Leaf count of the tree (≙ mtk::tsqr::get_batch_size, tsqr.hpp:23)."""
+    return plan_tree(m, 1, leaf_rows, fanin)[0]
+
+
+def get_batch_size_log2(m: int, leaf_rows: int = DEFAULT_LEAF_ROWS) -> int:
+    """Tree depth in binary-equivalent levels
+    (≙ get_batch_size_log2, tsqr.hpp:22 / tsqr.cu:39-44)."""
+    import math
+    return int(math.log2(get_batch_size(m, leaf_rows, 2)))
+
+
+def get_working_q_size(m: int, n: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
+                       fanin: int = DEFAULT_FANIN) -> int:
+    """Elements of tree Q storage (≙ get_working_q_size, blockqr.hpp:55;
+    reference formula wq = n*m + 2n^2(bs-1), tsqr.cu:47-52)."""
+    bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)
+    wq = m_pad * n
+    b = bs
+    while b > 1:
+        f = min(fanin, b)
+        wq += (b // f) * f * n * n
+        b //= f
+    return wq
+
+
+def get_working_r_size(m: int, n: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
+                       fanin: int = DEFAULT_FANIN) -> int:
+    """Elements of ping-pong R storage (≙ get_working_r_size,
+    blockqr.hpp:56; reference wr = 1.5 n^2 bs, tsqr.cu:54-60)."""
+    bs, _, _ = plan_tree(m, n, leaf_rows, fanin)
+    return 2 * bs * n * n
+
+
 def working_memory_elems(m: int, n: int, leaf_rows: int = DEFAULT_LEAF_ROWS,
                          fanin: int = DEFAULT_FANIN) -> int:
     """Peak intermediate elements of the fused tree, for the speed harness
     (≙ wq = n*m + 2n^2(bs-1), wr = 1.5 n^2 bs, tsqr.cu:47-60)."""
-    bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)
-    wq = m_pad * n  # leaf Q
-    b = bs
-    while b > 1:
-        f = min(fanin, b)
-        wq += (b // f) * f * n * n  # each level's Q factors
-        b //= f
-    wr = 2 * bs * n * n  # ping-pong R buffers (XLA may alias; upper bound)
-    return wq + wr
+    return (get_working_q_size(m, n, leaf_rows, fanin)
+            + get_working_r_size(m, n, leaf_rows, fanin))

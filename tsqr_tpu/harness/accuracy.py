@@ -71,8 +71,16 @@ def sweep(ms: Sequence[int], ns: Sequence[int], mode_names: Sequence[str],
                 for n in ns:
                     if n > m:
                         continue
-                    row = accuracy_row(m, n, mode, reorth, trials=trials,
-                                       **qr_kw)
+                    # per-config error containment (≙ test.cu:229-232:
+                    # catch, report, continue the sweep)
+                    try:
+                        row = accuracy_row(m, n, mode, reorth,
+                                           trials=trials, **qr_kw)
+                    except Exception as e:
+                        print(f"# error m={m} n={n} mode={mode}: "
+                              f"{type(e).__name__}: {e}", file=out,
+                              flush=True)
+                        continue
                     rows.append(row)
                     print(format_row(row), file=out, flush=True)
     return rows

@@ -65,7 +65,12 @@ def sweep(m: int, n: int, conds: Sequence[float],
     for mode in mode_names:
         for reorth in reorths:
             for cond in conds:
-                row = cond_row(m, n, cond, mode, reorth, **kw)
+                try:
+                    row = cond_row(m, n, cond, mode, reorth, **kw)
+                except Exception as e:
+                    print(f"# error cond={cond} mode={mode}: "
+                          f"{type(e).__name__}: {e}", file=out, flush=True)
+                    continue
                 rows.append(row)
                 print(format_row(row), file=out, flush=True)
     return rows

@@ -65,7 +65,13 @@ def sweep(ms: Sequence[int], ns: Sequence[int], mode_names: Sequence[str],
                 for n in ns:
                     if n > m:
                         continue
-                    row = speed_row(m, n, mode, reorth, **kw)
+                    try:
+                        row = speed_row(m, n, mode, reorth, **kw)
+                    except Exception as e:
+                        print(f"# error m={m} n={n} mode={mode}: "
+                              f"{type(e).__name__}: {e}", file=out,
+                              flush=True)
+                        continue
                     rows.append(row)
                     print(format_row(row), file=out, flush=True)
     return rows
