@@ -33,16 +33,20 @@ def run(m: int, n: int) -> dict:
     mode = "bf16x6_cor"
     a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
 
-    def qr_fn(x):
-        return cholqr.fastqr(x, mode, method="cholqr3")
+    method = "cholqr3_fused" if jax.devices()[0].platform == "tpu" \
+        else "cholqr3"
 
-    # accuracy gate first (fp32-grade orthogonality required)
+    def qr_fn(x):
+        return cholqr.fastqr(x, mode, method=method)
+
+    # accuracy gate first (fp32-grade orthogonality required).  Measured
+    # with the Kahan-compensated streaming Gram (a naive fp32 device Gram
+    # adds ~sqrt(m)*eps of measurement error — 3e-4 at m=2^22).
+    from tsqr_tpu.utils import validation
     q, r = jax.jit(qr_fn)(a)
-    gram = jnp.matmul(q.T, q, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-    orth = float(jnp.linalg.norm(gram - jnp.eye(n)) / np.sqrt(n))
-    acc_ok = bool(np.isfinite(orth) and orth < 1e-4)
-    del q, r, gram
+    orth = validation.orthogonality_accurate(q)
+    acc_ok = bool(np.isfinite(orth) and orth < 1e-5)
+    del q, r
     gc.collect()
     print(f"bench: m=2^{m.bit_length()-1} n={n} orth={orth:.2e}",
           file=sys.stderr, flush=True)

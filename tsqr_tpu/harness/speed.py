@@ -26,12 +26,13 @@ CSV_HEADER = ("m,n,type,compute_mode,reorthogonalization,elapsed_time,"
 def speed_row(m: int, n: int, mode: str, reorth: bool = False,
               trials: int = 8, seed: int = 0, panel_width: int = 128,
               leaf_rows: int = tsqr_mod.DEFAULT_LEAF_ROWS,
-              fanin: int = tsqr_mod.DEFAULT_FANIN, impl: str = "jnp") -> dict:
+              fanin: int = tsqr_mod.DEFAULT_FANIN, impl: str = "jnp",
+              panel_method: str = "tsqr") -> dict:
     policy = modes.resolve(mode)
     fn = jax.jit(lambda x: blockqr.qr(x, policy, reorth=reorth,
                                       panel_width=panel_width,
                                       leaf_rows=leaf_rows, fanin=fanin,
-                                      impl=impl))
+                                      impl=impl, panel_method=panel_method))
     a = jax.random.uniform(jax.random.PRNGKey(seed), (m, n), jnp.float32,
                            -1, 1)
     jax.block_until_ready(fn(a))  # warm-up (≙ test.cu:290)

@@ -85,12 +85,19 @@ def gram_pallas(a: Array, mode: str = "fp32", chunk: int = DEFAULT_CHUNK,
     a = _pad_chunks(a.astype(jnp.float32), chunk)
     m_pad, n = a.shape
 
-    def kernel(a_ref, g_ref):
+    def kernel(a_ref, g_ref, comp_ref):
+        # Kahan-compensated accumulation across chunks: the naive f32 sum
+        # over m/chunk contributions caps orthogonality at ~1e-4 for
+        # m = 2^22 (measured); compensation restores ~chunk-local error.
         @pl.when(pl.program_id(0) == 0)
         def _():
             g_ref[:, :] = jnp.zeros((n, n), jnp.float32)
-        g_ref[:, :] += _gram_terms(a_ref[:, :].astype(jnp.float32),
-                                   policy.mode)
+            comp_ref[:, :] = jnp.zeros((n, n), jnp.float32)
+        contrib = _gram_terms(a_ref[:, :].astype(jnp.float32), policy.mode)
+        y = contrib - comp_ref[:, :]
+        t = g_ref[:, :] + y
+        comp_ref[:, :] = (t - g_ref[:, :]) - y
+        g_ref[:, :] = t
 
     return pl.pallas_call(
         kernel,
@@ -100,6 +107,9 @@ def gram_pallas(a: Array, mode: str = "fp32", chunk: int = DEFAULT_CHUNK,
         out_specs=pl.BlockSpec((n, n), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * n, bytes_accessed=4 * (m_pad * n + n * n),
@@ -158,13 +168,18 @@ def qpass_pallas(a: Array, rinv: Array, mode: str = "fp32",
                           preferred_element_type=jnp.float32)
 
     if with_gram:
-        def kernel(a_ref, rinv_ref, q_ref, g_ref):
+        def kernel(a_ref, rinv_ref, q_ref, g_ref, comp_ref):
             @pl.when(pl.program_id(0) == 0)
             def _():
                 g_ref[:, :] = jnp.zeros((n, n), jnp.float32)
+                comp_ref[:, :] = jnp.zeros((n, n), jnp.float32)
             q = dot_rinv(a_ref[:, :].astype(jnp.float32), rinv_ref[:, :])
             q_ref[:, :] = q
-            g_ref[:, :] += _gram_terms(q, policy.mode)
+            contrib = _gram_terms(q, policy.mode)
+            y = contrib - comp_ref[:, :]
+            t = g_ref[:, :] + y
+            comp_ref[:, :] = (t - g_ref[:, :]) - y
+            g_ref[:, :] = t
 
         q, g = pl.pallas_call(
             kernel,
@@ -179,6 +194,9 @@ def qpass_pallas(a: Array, rinv: Array, mode: str = "fp32",
                                     memory_space=pltpu.VMEM)),
             out_shape=(jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
                        jax.ShapeDtypeStruct((n, n), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=4 * m_pad * n * n,
@@ -201,6 +219,8 @@ def qpass_pallas(a: Array, rinv: Array, mode: str = "fp32",
         out_specs=pl.BlockSpec((chunk, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * n,

@@ -89,6 +89,27 @@ def residual_device(a: Array, q: Array, r: Array) -> Array:
     return jnp.linalg.norm(d) / jnp.linalg.norm(a)
 
 
+def orthogonality_accurate(q) -> float:
+    """Accurate orthogonality for huge m without host transfer of Q.
+
+    A naive on-device fp32 Gram accumulates ~sqrt(m)*eps of *measurement*
+    error (at m=2^22 that is ~3e-4 — swamping an fp32-grade Q); the
+    Kahan-compensated streaming Gram kernel measures to ~1e-9.  On
+    non-TPU backends falls back to host fp64.
+    """
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        import jax.numpy as jnp
+        from tsqr_tpu.ops import pallas_gram
+
+        q = jnp.asarray(q)
+        n = q.shape[1]
+        g = pallas_gram.gram_pallas(q, "fp32", chunk=1024)
+        return float(jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n * 1.0))
+    return orthogonality(q)
+
+
 def exponent_distribution(x, name: str = "") -> dict[int, int]:
     """Histogram of binary exponents of the (finite, nonzero) elements
     (≙ exponent_distribution, validation.cu:18-40, 214-237 — used for the
