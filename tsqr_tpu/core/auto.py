@@ -58,7 +58,11 @@ def qr_auto(a: Array,
         q, r = cholqr.fastqr(a, policy.mode.value
                              if not isinstance(mode, modes.Policy) else mode,
                              method=fast_method)
-        orth = float(_orth_device(q))
+        from tsqr_tpu.utils import validation
+        if m <= (1 << 16):
+            orth = float(_orth_device(q))  # naive gram fine at small m
+        else:
+            orth = validation.orthogonality_accurate(q)
         if np.isfinite(orth) and orth < tol:
             return q, r, fast_method
     q, r = blockqr.qr(a, mode, **qr_kw)
