@@ -29,18 +29,17 @@ def speed_row(m: int, n: int, mode: str, reorth: bool = False,
               fanin: int = tsqr_mod.DEFAULT_FANIN, impl: str = "jnp",
               panel_method: str = "tsqr") -> dict:
     policy = modes.resolve(mode)
-    fn = jax.jit(lambda x: blockqr.qr(x, policy, reorth=reorth,
-                                      panel_width=panel_width,
-                                      leaf_rows=leaf_rows, fanin=fanin,
-                                      impl=impl, panel_method=panel_method))
     a = jax.random.uniform(jax.random.PRNGKey(seed), (m, n), jnp.float32,
                            -1, 1)
-    jax.block_until_ready(fn(a))  # warm-up (≙ test.cu:290)
-    t0 = time.perf_counter()
-    for _ in range(trials):
-        out = fn(a)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / trials
+    # 1 warm-up + timed runs (≙ test.cu:290-309); amortized in-jit chaining
+    # because block_until_ready is unreliable on tunneled backends
+    from tsqr_tpu.utils import timing
+    elapsed = timing.time_fn_amortized(
+        lambda x: blockqr.qr(x, policy, reorth=reorth,
+                             panel_width=panel_width, leaf_rows=leaf_rows,
+                             fanin=fanin, impl=impl,
+                             panel_method=panel_method),
+        a, loops=max(2, trials), reps=2)
     fl = flops_mod.blockqr_flops(m, n, panel_width, leaf_rows, fanin, reorth)
     wmem = tsqr_mod.working_memory_elems(m, min(n, panel_width), leaf_rows,
                                          fanin) * 4
