@@ -23,6 +23,16 @@ This is the TPU analogue of the reference batching 4 tiles per thread
 block (qr32x16_batched_kernel, tcqr32x16.cu:1483-1486): there it hides
 memory latency across warps; here it hides the reflector chain's serial
 latency across lanes.
+
+STATUS — experimental, currently SLOWER than the single-tile kernel
+(measured v5e, 2048 leaves of 512x128 fp32: 552 ms at T=4 vs 240 ms
+single-tile vs 247 ms vmapped-XLA).  The segment-matrix products sit on
+the serial critical path at HIGHEST precision (6 MXU passes each) and the
+Q-build Wq rebuild doubles the chain length.  Known fixes for a future
+round: per-block Wq stash (kills the rebuild), hi/lo exact bf16 segment
+reductions or pltpu.repeat broadcasts (kills the 6-pass products).  Kept
+because the kernel is correct (interpret + on-TPU tests) and the
+lane-packing machinery is the right skeleton for that follow-up.
 """
 
 from __future__ import annotations
