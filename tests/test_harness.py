@@ -94,3 +94,12 @@ def test_blockqr_breakdown_runs():
                                     leaf_rows=128, out=buf)
     assert res["total_s"] > 0
     assert "breakdown" in buf.getvalue()
+
+
+def test_baseline_rows():
+    from tsqr_tpu.harness import baseline
+    row = baseline.baseline_accuracy_row(256, 16, trials=2)
+    assert row["compute_mode"] == "jnp.linalg.qr"
+    assert row["residual"] < 1e-6
+    srow = baseline.baseline_speed_row(512, 32, trials=2)
+    assert srow["elapsed_time"] > 0 and srow["tflops"] > 0

@@ -26,7 +26,8 @@ QUICK_NS = [16, 128]
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("which", choices=["accuracy", "speed", "cond"])
+    p.add_argument("which", choices=["accuracy", "speed", "cond", "eval_q",
+                                     "baseline"])
     p.add_argument("--quick", action="store_true")
     p.add_argument("--modes", nargs="*", default=MODES)
     p.add_argument("--trials", type=int, default=None)
@@ -43,6 +44,15 @@ def main(argv=None):
     elif args.which == "speed":
         from tsqr_tpu.harness import speed
         speed.sweep(ms, ns, args.modes)
+    elif args.which == "eval_q":
+        from tsqr_tpu.harness import eval_q
+        eval_q.sweep(ms, ns[-1], args.modes)
+    elif args.which == "baseline":
+        from tsqr_tpu.harness import baseline
+        baseline.accuracy_sweep(ms, ns,
+                                trials=args.trials or (4 if args.quick
+                                                       else 16))
+        baseline.speed_sweep(ms, ns, out=sys.stderr)
     else:
         from tsqr_tpu.harness import cond
         conds = ([2.0 ** k for k in (2, 8)] if args.quick
