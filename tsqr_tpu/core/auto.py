@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tsqr_tpu import modes
-from tsqr_tpu.core import blockqr, cholqr, tsqr as tsqr_mod
+from tsqr_tpu.core import blockqr, cholqr
 
 Array = jax.Array
 

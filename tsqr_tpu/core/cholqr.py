@@ -33,7 +33,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from tsqr_tpu import modes
 

@@ -9,7 +9,6 @@ elapsed_time,tflops,working_memory_size`` (test.cu:60-63).
 from __future__ import annotations
 
 import sys
-import time
 from typing import IO, Sequence
 
 import jax

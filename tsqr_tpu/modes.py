@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
 from typing import Callable
 
 import jax

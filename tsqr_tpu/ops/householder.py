@@ -25,7 +25,6 @@ Two update strategies are provided:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

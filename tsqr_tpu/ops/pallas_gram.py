@@ -23,7 +23,6 @@ and drive products through the matrix unit" kernel strategy
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

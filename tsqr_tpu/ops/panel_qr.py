@@ -11,7 +11,6 @@ tcqr32x16.cu:1471-1532, becomes the Pallas grid).
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
