@@ -80,7 +80,9 @@ def test_fused_pallas_interpret(method):
 
 def test_fused_corrected_interpret():
     from tsqr_tpu.core.cholqr import cholqr2_fused
-    a = _rand(2048, 32, seed=5)
+    # n >= 64 so the streaming kernels (not the narrow-panel XLA
+    # delegation) are exercised
+    a = _rand(2048, 64, seed=5)
     q, r = cholqr2_fused(jnp.asarray(a), "bf16x6_cor", interpret=True)
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5

@@ -120,8 +120,15 @@ def cholqr2_fused(a: Array,
                   interpret: bool = False) -> tuple[Array, Array]:
     """CholeskyQR2 on the streaming Pallas kernels: reads A twice, writes
     Q1/Q2 once each — the HBM-roofline implementation (see
-    ops/pallas_gram.py)."""
+    ops/pallas_gram.py).
+
+    Narrow panels delegate to the XLA variant: below ~half a lane tile the
+    streaming kernels waste most of each (chunk, 128) lane tile (measured
+    at n=16: 5.1 ms fused vs ~0.1 ms XLA for m=2^20)."""
     from tsqr_tpu.ops import pallas_gram
+
+    if a.shape[1] < 64:
+        return cholqr2(a, mode)
 
     policy = modes.resolve(mode)
     mname = policy.mode.value
@@ -140,8 +147,12 @@ def cholqr2_fused(a: Array,
 def cholqr3_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   interpret: bool = False) -> tuple[Array, Array]:
-    """Shifted CholeskyQR3 on the streaming kernels."""
+    """Shifted CholeskyQR3 on the streaming kernels (narrow panels
+    delegate to the XLA variant, see cholqr2_fused)."""
     from tsqr_tpu.ops import pallas_gram
+
+    if a.shape[1] < 64:
+        return cholqr3(a, mode)
 
     policy = modes.resolve(mode)
     mname = policy.mode.value
