@@ -79,3 +79,16 @@ def test_corrected_beats_uncorrected():
     assert on["bf16x3_cor"] < on["bf16_nocor"] / 4
     assert on["bf16x6_cor"] <= on["bf16x3_cor"] * 1.5
     assert on["bf16x6_cor"] < 5e-6  # fp32_tc_cor-grade (BASELINE.md target)
+
+
+def test_collect_level_q_instrumentation():
+    # ≙ EVALUATE_EACH_SMALL_Q (tsqr.cu:25): every tree level's Q tiles must
+    # be orthogonal
+    a = _rand(2048, 16, seed=8)
+    q, r, levels = tsqr_mod.tsqr(a, "fp32", leaf_rows=256, fanin=4,
+                                 collect_level_q=True)
+    assert len(levels) >= 2
+    for lvl in levels:
+        worst = validation.multi_orthogonality(np.asarray(lvl, np.float64))
+        assert worst < 1e-5
+    assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-6

@@ -100,14 +100,16 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
-                                             "leaf_qr", "impl", "block"))
+                                             "leaf_qr", "impl", "block",
+                                             "collect_level_q"))
 def tsqr(a: Array,
          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
          leaf_rows: int = DEFAULT_LEAF_ROWS,
          fanin: int = DEFAULT_FANIN,
          leaf_qr: Callable | None = None,
          impl: str = "jnp",
-         block: int = 8) -> tuple[Array, Array]:
+         block: int = 8,
+         collect_level_q: bool = False):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 
     ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
@@ -122,6 +124,10 @@ def tsqr(a: Array,
       impl: "jnp" (vmapped blocked Householder), "pallas" (VMEM-resident
         fused panel kernel, TPU only) or "pallas_interpret" (CPU debugging).
       block: intra-panel WY block width.
+      collect_level_q: also return the per-tree-level Q factor batches for
+        instrumentation (≙ the EVALUATE_EACH_SMALL_Q compile-time flag,
+        tsqr.cu:25, 1219-1250, which runs multi_orthogonality on every
+        level's Q tiles) — returns (q, r, [level Qs]).
     """
     policy = modes.resolve(mode)
     m, n = a.shape
@@ -138,7 +144,9 @@ def tsqr(a: Array,
 
     if bs == 1:
         q, r = leaf_qr(a[None])
-        return q[0, :m].astype(policy.io_dtype), r[0].astype(policy.io_dtype)
+        q_out = q[0, :m].astype(policy.io_dtype)
+        r_out = r[0].astype(policy.io_dtype)
+        return (q_out, r_out, [q]) if collect_level_q else (q_out, r_out)
 
     # ---- forward: leaf QR then R-reduction tree (≙ tsqr.cu:1102-1172) ----
     leaves = a.reshape(bs, L, n)
@@ -166,6 +174,9 @@ def tsqr(a: Array,
         c = prod.reshape(prod.shape[0] * f, n, n)
     q = mm(q0.astype(jnp.float32), c)                 # (bs, L, n)
     q = q.reshape(m_pad, n)[:m]
+    if collect_level_q:
+        return (q.astype(policy.io_dtype), r_out.astype(policy.io_dtype),
+                [q0] + qs)
     return q.astype(policy.io_dtype), r_out.astype(policy.io_dtype)
 
 
