@@ -28,11 +28,20 @@ STATUS — experimental, currently SLOWER than the single-tile kernel
 (measured v5e, 2048 leaves of 512x128 fp32: 552 ms at T=4 vs 240 ms
 single-tile vs 247 ms vmapped-XLA).  The segment-matrix products sit on
 the serial critical path at HIGHEST precision (6 MXU passes each) and the
-Q-build Wq rebuild doubles the chain length.  Known fixes for a future
-round: per-block Wq stash (kills the rebuild), hi/lo exact bf16 segment
-reductions or pltpu.repeat broadcasts (kills the 6-pass products).  Kept
-because the kernel is correct (interpret + on-TPU tests) and the
-lane-packing machinery is the right skeleton for that follow-up.
+Q-build Wq rebuild doubles the chain length.
+
+A v2 replacing the segment matmuls with lane-split reshapes
+(x.reshape(T, L).sum(axis=1) / broadcast_to + reshape) plus a full-width
+Wq stash was prototyped: it passes interpret-mode tests, and the reshape
+primitives compile in ISOLATION, but inside the full kernel Mosaic's
+layout inference rejects the same shape casts ("infer-vector-layout:
+unsupported shape cast", vector<2048xf32> -> vector<4x512xf32>) when the
+operand is a computed value rather than a direct ref load.  Next attempt
+should either (a) stage the operands through a small VMEM scratch ref so
+the reshape sees a ref-load layout, or (b) use an interleaved lane packing
+(tile = lane % T) so pltpu.repeat provides the broadcast and a (L, T)
+reshape the reduction.  Kept because the kernel is correct (interpret +
+on-TPU tests) and the lane-packing machinery is the right skeleton.
 """
 
 from __future__ import annotations
