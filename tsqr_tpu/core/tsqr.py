@@ -10,7 +10,7 @@ Re-expresses the reference TSQR driver (tsqr.cu:1064-1279) TPU-first:
 * The reference uses 32-row leaves and a strictly binary tree
   (``get_batch_size_log2(m) = max(5, ceil(log2 m)) - 5``, tsqr.cu:39-44) with
   ragged leaf sizes carried in a device list (tsqr.cu:1088-1093).  TPU wants
-  large MXU-aligned tiles, so leaves default to ~512 rows (multiple of the
+  large MXU-aligned tiles, so leaves default to ~2048 rows (multiple of the
   8-sublane fp32 tile) with at most ``leaf_rows``-ish zero padding, and the
   tree fan-in is configurable (4 or 8 gives (fanin*n, n) node QRs — chunky
   MXU work and a shallower tree).
@@ -38,8 +38,11 @@ from tsqr_tpu.ops import householder
 
 Array = jax.Array
 
-DEFAULT_LEAF_ROWS = 512
+# defaults tuned on v5e (m=2^20, n=128 sweep: leaf 2048/block 24 runs the
+# fp32 tree in 85 ms vs 247 ms with 512/8 — see docs/ROUND1.md)
+DEFAULT_LEAF_ROWS = 2048
 DEFAULT_FANIN = 8
+DEFAULT_BLOCK = 24
 
 
 def _round_up(x: int, m: int) -> int:
@@ -108,7 +111,7 @@ def tsqr(a: Array,
          fanin: int = DEFAULT_FANIN,
          leaf_qr: Callable | None = None,
          impl: str = "jnp",
-         block: int = 8,
+         block: int = DEFAULT_BLOCK,
          collect_level_q: bool = False):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 

@@ -147,7 +147,18 @@ def mm_fp32(a: Array, b: Array) -> Array:
 
 
 def mm_bf16(a: Array, b: Array) -> Array:
-    """Single-pass bf16 MXU product with fp32 accumulation."""
+    """Single-pass bf16 MXU product with fp32 accumulation.
+
+    On CPU the same semantics are expressed as an f32 dot of bf16-rounded
+    operands (XLA CPU's DotThunk lacks bf16 x bf16 = f32 for some shapes);
+    barriers keep the rounding from being folded away as excess precision.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        ar = _ob(a.astype(jnp.bfloat16)).astype(jnp.float32)
+        br = _ob(b.astype(jnp.bfloat16)).astype(jnp.float32)
+        return _mm(ar, br, lax.Precision.DEFAULT)
     return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                lax.Precision.DEFAULT)
 
