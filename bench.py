@@ -35,13 +35,17 @@ def run(m: int, n: int) -> dict:
 
     # CholeskyQR2 is the right method for this well-conditioned workload
     # (kappa of uniform random ~ O(1); the orthogonality gate below would
-    # zero the metric if the method ever missed fp32 grade).  cholqr3 is
-    # the robust production default for unknown conditioning.
-    method = "cholqr2_fused" if jax.devices()[0].platform == "tpu" \
-        else "cholqr2"
+    # zero the metric if the method ever missed fp32 grade), and the
+    # "fastest" variant's kappa <~ 10 contract holds here (see
+    # core/cholqr.cholqr2_fused).  cholqr3 [safe] is the robust
+    # production default for unknown conditioning.
+    if jax.devices()[0].platform == "tpu":
+        method, variant = "cholqr2_fused", "fastest"
+    else:
+        method, variant = "cholqr2", "safe"
 
     def qr_fn(x):
-        return cholqr.fastqr(x, mode, method=method)
+        return cholqr.fastqr(x, mode, method=method, variant=variant)
 
     # accuracy gate first (fp32-grade orthogonality required).  Measured
     # with the Kahan-compensated streaming Gram (a naive fp32 device Gram
@@ -75,15 +79,22 @@ def run(m: int, n: int) -> dict:
 
 
 def main():
+    result = None
+    last_err = None
     for m in (1 << 22, 1 << 21, 1 << 20):
         try:
             result = run(m, 128)
             break
         except Exception as e:
+            last_err = e
             print(f"bench: m={m} failed ({type(e).__name__}: "
                   f"{str(e)[:160]}); retrying smaller", file=sys.stderr,
                   flush=True)
             gc.collect()
+    if result is None:
+        print("bench: every fallback size failed", file=sys.stderr,
+              flush=True)
+        raise last_err
     print(json.dumps(result))
 
 

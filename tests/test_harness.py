@@ -46,9 +46,12 @@ def test_compare_modes():
 def test_compare_to_fp64_golden():
     d = compare.compare_to_fp64_golden(512, 16, "fp32", leaf_rows=128,
                                        panel_width=16)
-    # sign-insensitive diff of R against LAPACK fp64 — diagonal entries
-    # match to fp32 roundoff; small off-diag entries can differ relatively
-    assert d["r_max_rel_diff"] < 1.0
+    # sign-insensitive diff of R against LAPACK fp64: the diagonal is
+    # well-conditioned and must match to fp32 roundoff; off-diagonal
+    # entries are judged relative to their column norm (tiny entries are
+    # relatively inaccurate in any precision)
+    assert d["r_diag_max_rel_diff"] < 1e-5
+    assert d["r_colscaled_max_diff"] < 1e-5
 
 
 def test_flops_model_sane():

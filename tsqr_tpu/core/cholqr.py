@@ -12,10 +12,16 @@ reference-parity semantics.
 Numerics (Yamamoto/Fukaya et al.):
   * CholeskyQR2: orthogonality ~ eps once kappa(A)^2 * eps << 1, i.e.
     kappa <~ 1/sqrt(eps).  In fp32 (eps~6e-8): kappa <~ 4e3.
-  * shifted CholeskyQR3: a shift s ~ 11(mn + n(n+1)) eps ||G||_2 makes the
-    first Cholesky succeed for kappa up to ~1/sqrt(eps)*... then two more
-    CholeskyQR passes polish to eps-level orthogonality; handles
-    kappa <~ 1e7 in fp32.
+  * shifted CholeskyQR3: a shift s (see _shift_value) makes the first
+    Cholesky succeed unconditionally and contracts kappa by
+    ~sqrt(||G||/s) ~ 5x (measured at m=4096, n=64), after which the two
+    unshifted passes polish to eps-level orthogonality.  Honest fp32
+    range: kappa <~ 2e4 at these sizes — measured per-pass contraction,
+    tests/test_cholqr.py.  Beyond that the Householder TSQR tree
+    (core/tsqr.py) is the robustness path and core/auto.py routes to it
+    automatically (fp32 Gram arithmetic fundamentally loses directions
+    with sigma^2 below eps*||G||, so no fixed-pass Gram method can reach
+    kappa ~ 1e6 at fp32-grade orthogonality).
   * The split-corrected modes apply naturally: G is computed with the
     policy matmul, so bf16x6_cor produces an fp32-grade Gram matrix from
     bf16 MXU passes — the same correction idea as the reference's
@@ -39,6 +45,25 @@ from tsqr_tpu import modes
 Array = jax.Array
 
 
+def _shift_value(g: Array, m: int, n: int) -> Array:
+    """Cholesky-safeguard shift, Fukaya et al. 2020 form adapted:
+    s = 11 (sqrt(m) n + n(n+1)) eps ||G||_F.
+
+    Two changes vs the paper's 11(mn + n(n+1)) eps ||A||_2^2: ||G||_F
+    replaces ||G||_2 (a cheap upper bound that is at most sqrt(n) over —
+    the previously-used trace is up to n x over and was measured 16x over
+    on latms spectra, wasting the preconditioner), and sqrt(m) replaces m
+    in the Gram-error term (the paper's m n eps is the deterministic
+    worst case; the measured accumulation error of the XLA Gram and of
+    the Kahan-compensated streaming Gram is ~sqrt(m) eps ||G||).  Each
+    shifted pass contracts kappa by ~sqrt(||G||/s) ~ 5x at m=4096, n=64
+    (measured); a needlessly large shift contracts less.
+    """
+    eps = jnp.float32(6.0e-8)
+    sqrt_m = jnp.sqrt(jnp.asarray(m, jnp.float32))  # m may be traced
+    return (11.0 * (sqrt_m * n + n * (n + 1)) * eps * jnp.linalg.norm(g))
+
+
 def _chol_r(g: Array, shift: float | Array = 0.0) -> Array:
     """Upper-triangular R with G (+ shift*I) = R^T R."""
     n = g.shape[-1]
@@ -60,6 +85,50 @@ def _q_pass(a: Array, r: Array, mm: Callable) -> Array:
     rinv = jax.scipy.linalg.solve_triangular(
         r, jnp.eye(n, dtype=r.dtype), lower=False)
     return mm(a, rinv)
+
+
+def cholqr1(a: Array,
+            mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+            ) -> tuple[Array, Array]:
+    """Single-pass CholeskyQR: orthogonality ~ kappa(A)^2 * eps_mode.
+
+    The rational method for the low-precision-IO modes (BF16): Q is
+    stored in bf16, whose rounding already floors orthogonality at
+    ~1e-3, so CholeskyQR2's second iteration buys nothing there — and
+    CholQR1's 4mn^2 method flops EQUAL the useful QR flop count, making
+    it the only method whose MXU utilization can approach 100 % of
+    useful (the ">= 50 % MXU peak" BASELINE vehicle, see
+    harness/mfu.py).  For fp32-grade output use cholqr2/cholqr3.
+    """
+    policy = modes.resolve(mode)
+    a32 = a.astype(jnp.float32)
+    g = modes.gram(a32, policy)
+    r = _chol_r(g)
+    q = _q_pass(a32, r, policy.mm)
+    return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
+
+
+def cholqr1_fused(a: Array,
+                  mode: modes.ComputeMode | str | modes.Policy = "bf16",
+                  interpret: bool = False) -> tuple[Array, Array]:
+    """Single-pass CholeskyQR on the streaming kernels: the HBM-minimal
+    QR — one read of A (Gram), one read + one write (Q pass).  With bf16
+    IO that is 8mn bytes total for the whole factorization."""
+    from tsqr_tpu.ops import pallas_gram
+
+    if a.shape[1] < 64:
+        return cholqr1(a, mode)
+
+    policy = modes.resolve(mode)
+    mname = policy.mode.value
+    if a.dtype not in (jnp.bfloat16, jnp.float32):
+        a = a.astype(jnp.float32)
+    g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
+    r = _chol_r(g)
+    q = pallas_gram.stream_pallas(a, (_rinv(r),), (mname,), write_q=True,
+                                  interpret=interpret,
+                                  out_dtype=policy.io_dtype)
+    return q, jnp.triu(r).astype(policy.io_dtype)
 
 
 def cholqr2(a: Array,
@@ -86,9 +155,10 @@ def cholqr2(a: Array,
 def cholqr3(a: Array,
             mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
             ) -> tuple[Array, Array]:
-    """Shifted CholeskyQR3: robust to kappa(A) ~ 1e7 in fp32.
+    """Shifted CholeskyQR3: robust to kappa(A) <~ 2e4 in fp32 (measured;
+    see module docstring — beyond that, use the Householder tree).
 
-    Pass 1 uses a Frobenius-based shift so the Cholesky cannot break down;
+    Pass 1 uses a safeguarded shift so the Cholesky cannot break down;
     passes 2-3 are plain CholeskyQR (= CholeskyQR2 on the preconditioned
     Q1).  All m-scale work is GEMMs.
     """
@@ -97,12 +167,7 @@ def cholqr3(a: Array,
     a = a.astype(jnp.float32)
     m, n = a.shape
     g = modes.gram(a, policy)
-    # shift ~ 11 (mn + n(n+1)) eps ||G||_2; use trace as a cheap ||G||_2
-    # upper bound (Fukaya et al. 2020 use ||A||_2^2 = ||G||_2)
-    eps = jnp.float32(6.0e-8)
-    gnorm = jnp.trace(g)  # = ||A||_F^2 >= ||G||_2 (safe upper bound)
-    shift = 11.0 * (m * n + n * (n + 1)) * eps * gnorm
-    r1 = _chol_r(g, shift=shift)
+    r1 = _chol_r(g, shift=_shift_value(g, m, n))
     q1 = _q_pass(a, r1, mm)
     q2, r2 = cholqr2(q1, policy)
     r = jnp.triu(modes.mm_fp32(r2.astype(jnp.float32), r1))
@@ -115,12 +180,44 @@ def _rinv(r: Array) -> Array:
         r, jnp.eye(n, dtype=r.dtype), lower=False)
 
 
+# Cheap-dot modes: a single (or triple) MXU pass per product.  For these
+# the recompute-Q1 pipeline (4 HBM passes, Q1 re-derived bitwise in VMEM)
+# beats writing Q1; the re-dot residual error is at the mode's own grade
+# by definition.  Corrected/fp32 modes keep the write-Q1 structure: their
+# dots cost 6 passes, so recomputing loses more MXU time than one HBM
+# write+read round-trip costs.
+_CHEAP_DOT = (modes.ComputeMode.BF16, modes.ComputeMode.BF16_NOCOR,
+              modes.ComputeMode.BF16X3_NOCOR)
+# Delta-trick correction mode per main mode (see stream_pallas residual)
+_DELTA_MODE = {modes.ComputeMode.BF16X6_COR: "bf16x3_cor",
+               modes.ComputeMode.FP32: "bf16x3_nocor"}
+
+
+def _delta(r: Array) -> Array:
+    """Delta = Rinv - I, exact in f32 (Sterbenz on the near-1 diagonal)."""
+    n = r.shape[-1]
+    return _rinv(r) - jnp.eye(n, dtype=jnp.float32)
+
+
 def cholqr2_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
-                  interpret: bool = False) -> tuple[Array, Array]:
-    """CholeskyQR2 on the streaming Pallas kernels: reads A twice, writes
-    Q1/Q2 once each — the HBM-roofline implementation (see
-    ops/pallas_gram.py).
+                  interpret: bool = False,
+                  variant: str = "safe") -> tuple[Array, Array]:
+    """CholeskyQR2 on the streaming Pallas kernels (ops/pallas_gram.py).
+
+    variant selects how much of CholeskyQR2's self-correction slack is
+    spent on speed (MXU passes quoted for bf16x6_cor; all keep fp32-grade
+    RESIDUAL — every m-scale dot stays full precision, only Gram #1 and
+    the near-identity second factor are relaxed):
+
+    * "safe"   (kappa <~ 4e3): full precision throughout; 20 MXU passes
+      (symmetric half-Gram already saves 4 vs round 1's 24).
+    * "fast"   (kappa <~ 500): second factor applied via the Delta trick
+      (Rinv2 = I + Delta, ||Delta|| ~ eps*kappa^2, so a 3-pass corrected
+      product of the Delta term suffices); 17 passes.
+    * "fastest" (kappa <~ 10): additionally Gram #1 in plain bf16 — its
+      error only degrades the preconditioner, which Gram #2 measures and
+      repairs; 14 passes.
 
     Narrow panels delegate to the XLA variant: below ~half a lane tile the
     streaming kernels waste most of each (chunk, 128) lane tile (measured
@@ -129,62 +226,122 @@ def cholqr2_fused(a: Array,
 
     if a.shape[1] < 64:
         return cholqr2(a, mode)
+    assert variant in ("safe", "fast", "fastest")
 
     policy = modes.resolve(mode)
     mname = policy.mode.value
-    a = a.astype(jnp.float32)
-    g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
+    if a.dtype not in (jnp.bfloat16, jnp.float32):
+        a = a.astype(jnp.float32)
+
+    g1_mode = "bf16" if variant == "fastest" else mname
+    g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
     r1 = _chol_r(g)
-    q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
-                                      interpret=interpret, with_gram=True)
-    r2 = _chol_r(g2)
-    q = pallas_gram.qpass_pallas(q1, _rinv(r2), mname, interpret=interpret,
-                                 with_gram=False)
+
+    if policy.mode in _CHEAP_DOT:
+        # recompute pipeline: 4 HBM passes, no Q1 materialized
+        p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mname,),
+                                       gram_mode=mname, interpret=interpret)
+        r2 = _chol_r(p2 + p2.T)
+        q = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2)),
+                                      (mname, mname), write_q=True,
+                                      interpret=interpret,
+                                      out_dtype=policy.io_dtype)
+    else:
+        q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
+                                          interpret=interpret,
+                                          with_gram=True)
+        r2 = _chol_r(g2)
+        dmode = _DELTA_MODE.get(policy.mode)
+        if variant != "safe" and dmode is not None:
+            q = pallas_gram.stream_pallas(q1, (_delta(r2),), (dmode,),
+                                          residual=(True,), write_q=True,
+                                          interpret=interpret,
+                                          out_dtype=policy.io_dtype)
+        else:
+            q = pallas_gram.stream_pallas(q1, (_rinv(r2),), (mname,),
+                                          write_q=True, interpret=interpret,
+                                          out_dtype=policy.io_dtype)
     r = jnp.triu(modes.mm_fp32(r2, r1))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
 def cholqr3_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
-                  interpret: bool = False) -> tuple[Array, Array]:
+                  interpret: bool = False,
+                  variant: str = "safe") -> tuple[Array, Array]:
     """Shifted CholeskyQR3 on the streaming kernels (narrow panels
-    delegate to the XLA variant, see cholqr2_fused)."""
+    delegate to the XLA variant).  The LAST factor always uses the Delta
+    trick when available — after two iterations Q2 is near-orthonormal
+    for every in-contract kappa, so Rinv3 = I + tiny holds
+    unconditionally; ``variant="fastest"`` additionally computes Gram #1
+    in bf16 (kappa <~ 10; see cholqr2_fused)."""
     from tsqr_tpu.ops import pallas_gram
 
     if a.shape[1] < 64:
         return cholqr3(a, mode)
+    assert variant in ("safe", "fast", "fastest")
 
     policy = modes.resolve(mode)
     mname = policy.mode.value
-    a = a.astype(jnp.float32)
+    if a.dtype not in (jnp.bfloat16, jnp.float32):
+        a = a.astype(jnp.float32)
     m, n = a.shape
-    g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
-    eps = jnp.float32(6.0e-8)
-    shift = 11.0 * (m * n + n * (n + 1)) * eps * jnp.trace(g)
-    r1 = _chol_r(g, shift=shift)
-    q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
-                                      interpret=interpret, with_gram=True)
-    r2 = _chol_r(g2)
-    q2, g3 = pallas_gram.qpass_pallas(q1, _rinv(r2), mname,
-                                      interpret=interpret, with_gram=True)
-    r3 = _chol_r(g3)
-    q = pallas_gram.qpass_pallas(q2, _rinv(r3), mname, interpret=interpret,
-                                 with_gram=False)
+    g1_mode = "bf16" if variant == "fastest" else mname
+    g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
+    r1 = _chol_r(g, shift=_shift_value(g, m, n))
+
+    if policy.mode in _CHEAP_DOT:
+        p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mname,),
+                                       gram_mode=mname, interpret=interpret)
+        r2 = _chol_r(p2 + p2.T)
+        p3 = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2)),
+                                       (mname, mname),
+                                       gram_mode=mname, interpret=interpret)
+        r3 = _chol_r(p3 + p3.T)
+        q = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2), _rinv(r3)),
+                                      (mname, mname, mname), write_q=True,
+                                      interpret=interpret,
+                                      out_dtype=policy.io_dtype)
+    else:
+        q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
+                                          interpret=interpret,
+                                          with_gram=True)
+        r2 = _chol_r(g2)
+        q2, g3 = pallas_gram.qpass_pallas(q1, _rinv(r2), mname,
+                                          interpret=interpret,
+                                          with_gram=True)
+        r3 = _chol_r(g3)
+        dmode = _DELTA_MODE.get(policy.mode)
+        if dmode is not None:
+            q = pallas_gram.stream_pallas(q2, (_delta(r3),), (dmode,),
+                                          residual=(True,), write_q=True,
+                                          interpret=interpret,
+                                          out_dtype=policy.io_dtype)
+        else:
+            q = pallas_gram.stream_pallas(q2, (_rinv(r3),), (mname,),
+                                          write_q=True, interpret=interpret,
+                                          out_dtype=policy.io_dtype)
     r = jnp.triu(modes.mm_fp32(r3, modes.mm_fp32(r2, r1)))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
-_METHODS = {"cholqr2": cholqr2, "cholqr3": cholqr3,
+_METHODS = {"cholqr1": cholqr1, "cholqr2": cholqr2, "cholqr3": cholqr3,
+            "cholqr1_fused": cholqr1_fused,
             "cholqr2_fused": cholqr2_fused, "cholqr3_fused": cholqr3_fused}
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "method"))
+@functools.partial(jax.jit, static_argnames=("mode", "method", "variant"))
 def fastqr(a: Array,
            mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
-           method: str = "cholqr3") -> tuple[Array, Array]:
+           method: str = "cholqr3",
+           variant: str = "safe") -> tuple[Array, Array]:
     """MXU-native tall-skinny QR (single jit entry point).
 
-    methods: cholqr2 / cholqr3 (pure XLA) and cholqr2_fused /
-    cholqr3_fused (streaming Pallas kernels, TPU only).
+    methods: cholqr1/2/3 (pure XLA) and cholqr{1,2,3}_fused (streaming
+    Pallas kernels, TPU only).  ``variant`` trades CholeskyQR's
+    self-correction slack for MXU passes in the fused corrected methods
+    (see cholqr2_fused: safe / fast / fastest).
     """
+    if variant != "safe" and method in ("cholqr2_fused", "cholqr3_fused"):
+        return _METHODS[method](a, mode, variant=variant)
     return _METHODS[method](a, mode)

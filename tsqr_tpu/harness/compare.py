@@ -46,7 +46,18 @@ def compare_to_fp64_golden(m: int, n: int, mode: str, reorth: bool = False,
                                       jnp.float32, -1, 1))
     q, r = blockqr.qr(jnp.asarray(a), mode, reorth=reorth, **qr_kw)
     qg, rg = np.linalg.qr(a.astype(np.float64))
+    r64 = np.asarray(r, np.float64)
+    # element-wise relative diff is meaningless for tiny off-diagonal R
+    # entries (cancellation makes them relatively inaccurate in ANY
+    # precision); the judgeable metrics are the diagonal (well-conditioned)
+    # and the column-norm-scaled elements.
+    dg = np.abs(np.diag(rg))
+    diag_rel = np.max(np.abs(np.abs(np.diag(r64)) - dg) / dg)
+    colnorm = np.maximum(np.linalg.norm(rg, axis=0), 1e-30)
+    colscaled = np.max(np.abs(np.abs(r64) - np.abs(rg)) / colnorm[None, :])
     return {
         "q_max_rel_diff": _max_rel_diff(np.asarray(q, np.float64), qg, True),
-        "r_max_rel_diff": _max_rel_diff(np.asarray(r, np.float64), rg, True),
+        "r_max_rel_diff": _max_rel_diff(r64, rg, True),
+        "r_diag_max_rel_diff": float(diag_rel),
+        "r_colscaled_max_diff": float(colscaled),
     }

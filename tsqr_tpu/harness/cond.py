@@ -4,7 +4,10 @@
 (reference: kappa = 2^2 .. 2^15 at m=2^15, n=2^7) on latms-generated
 matrices with verified condition numbers (rejection loop,
 test_cond.cu:45-60); CSV schema ``m,n,condition,type,compute_mode,
-reorthogonalization,residual,...`` (test_cond.cu:109-112).
+reorthogonalization,residual,...`` (test_cond.cu:109-112).  Golden
+baseline rows against ``jnp.linalg.qr`` ≙ cusolver_accuracy_cond
+(test_cond.cu:271-402) — the reference judges every cond sweep against
+the vendor QR on the same generated matrices.
 """
 
 from __future__ import annotations
@@ -26,8 +29,18 @@ CSV_HEADER = ("m,n,condition,measured_condition,type,compute_mode,"
 
 def cond_row(m: int, n: int, cond: float, mode: str, reorth: bool = False,
              trials: int = 4, seed: int = 0, **qr_kw) -> dict:
-    policy = modes.resolve(mode)
-    fn = jax.jit(lambda x: blockqr.qr(x, policy, reorth=reorth, **qr_kw))
+    """One (kappa, mode) config.  mode="golden" benchmarks jnp.linalg.qr
+    on the same latms matrices (≙ cusolver_accuracy_cond,
+    test_cond.cu:271-402)."""
+    if mode == "golden":
+        policy = None
+        name = "jnp.linalg.qr"
+        fn = jax.jit(jnp.linalg.qr)
+        reorth = False
+    else:
+        policy = modes.resolve(mode)
+        name = policy.name
+        fn = jax.jit(lambda x: blockqr.qr(x, policy, reorth=reorth, **qr_kw))
     key = jax.random.PRNGKey(seed)
     residuals, orths, measured = [], [], []
     for t in range(trials):
@@ -40,7 +53,7 @@ def cond_row(m: int, n: int, cond: float, mode: str, reorth: bool = False,
     residuals, orths = np.array(residuals), np.array(orths)
     return {"m": m, "n": n, "condition": cond,
             "measured_condition": float(np.mean(measured)),
-            "type": "float32", "compute_mode": policy.name,
+            "type": "float32", "compute_mode": name,
             "reorthogonalization": int(reorth),
             "residual": residuals.mean(),
             "residual_variance": residuals.var(),
@@ -64,6 +77,8 @@ def sweep(m: int, n: int, conds: Sequence[float],
     rows = []
     for mode in mode_names:
         for reorth in reorths:
+            if mode == "golden" and reorth:
+                continue  # golden rows have no reorth variant
             for cond in conds:
                 try:
                     row = cond_row(m, n, cond, mode, reorth, **kw)

@@ -32,6 +32,57 @@ def tsqr_flops(m: int, n: int, leaf_rows: int = tsqr_mod.DEFAULT_LEAF_ROWS,
     return total
 
 
+# ---------------------------------------------------------------------------
+# MXU-pass / HBM-byte models of the fused CholeskyQR pipelines, for the MFU
+# analysis (harness/mfu.py).  One "pass" = one rank-m MXU product of
+# 2*m*n^2 flops (the unit the v5e MXU executes at bf16 rate).  fp32
+# HIGHEST counts 6 (XLA's internal 6-pass bf16 decomposition on TPU).
+# ---------------------------------------------------------------------------
+
+DOT_PASSES = {"fp32": 6, "bf16": 1, "bf16_nocor": 1, "bf16x3_nocor": 3,
+              "bf16x3_cor": 3, "bf16x6_cor": 6}
+# symmetric half-Gram (ops/pallas_gram._gram_half): x6 4, x3 2
+GRAM_PASSES = {"fp32": 6, "bf16": 1, "bf16_nocor": 1, "bf16x3_nocor": 3,
+               "bf16x3_cor": 2, "bf16x6_cor": 4}
+_CHEAP = ("bf16", "bf16_nocor", "bf16x3_nocor")
+_DELTA = {"bf16x6_cor": 3, "fp32": 3}  # Delta-trick final-factor passes
+
+
+def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
+    """MXU passes of the fused CholeskyQR pipelines (core/cholqr.py)."""
+    g, d = GRAM_PASSES[mode], DOT_PASSES[mode]
+    g1 = 1 if variant == "fastest" else g
+    if method == "cholqr1_fused":
+        return g + d
+    if method == "cholqr2_fused":
+        if mode in _CHEAP:
+            return g + (d + g) + 2 * d          # recompute pipeline
+        last = _DELTA.get(mode, d) if variant != "safe" else d
+        return g1 + (d + g) + last              # write-Q1 pipeline
+    if method == "cholqr3_fused":
+        if mode in _CHEAP:
+            return g + (d + g) + (2 * d + g) + 3 * d
+        return g1 + (d + g) + (d + g) + _DELTA.get(mode, d)
+    raise ValueError(method)
+
+
+def fused_hbm_bytes(m: int, n: int, mode: str, method: str) -> int:
+    """HBM bytes moved by the fused pipelines (m-scale traffic only)."""
+    io = 2 if mode == "bf16" else 4
+    mn = m * n
+    if method == "cholqr1_fused":
+        return io * mn * 3                      # rA (gram), rA + wQ
+    if method == "cholqr2_fused":
+        if mode in _CHEAP:
+            return io * mn * 4                  # rA, rA, rA + wQ
+        return io * mn * 5                      # rA, rA + wQ1, rQ1 + wQ
+    if method == "cholqr3_fused":
+        if mode in _CHEAP:
+            return io * mn * 5
+        return io * mn * 7
+    raise ValueError(method)
+
+
 def blockqr_flops(m: int, n: int, panel_width: int,
                   leaf_rows: int = tsqr_mod.DEFAULT_LEAF_ROWS,
                   fanin: int = tsqr_mod.DEFAULT_FANIN,

@@ -1,19 +1,35 @@
-"""Pallas streaming kernels for CholeskyQR: fused Gram and Q-pass.
+"""Pallas streaming kernels for CholeskyQR: fused Gram / Q-pass pipelines.
 
-Why these exist (HBM-bandwidth math for m=2^20, n=128 fp32):
+Why these exist (roofline math for m=2^22, n=128 fp32 on one v5e,
+819 GB/s HBM, ~197 bf16 TFLOP/s MXU):
 
 * A naive corrected Gram ``modes.gram(a, policy)`` materializes the bf16
-  split components of A in HBM (2-3 copies, ~1.5 GB written + read back)
-  before the MXU products.  The streaming kernel splits each (C, n) chunk
-  *in VMEM* and accumulates the split products into an (n, n) f32
-  accumulator that never leaves VMEM: exactly one read of A.
-* CholeskyQR2's second iteration re-reads Q1 to form its Gram.  The fused
-  Q-pass computes Q1 = A R^{-1} chunk-wise and accumulates G2 = Q1^T Q1
-  on the fly: one read of A, one write of Q1, no second pass.
+  split components of A in HBM (2-3 copies) before the MXU products.  The
+  streaming kernel splits each (C, n) chunk *in VMEM* and accumulates the
+  split products into an (n, n) f32 accumulator that never leaves VMEM:
+  exactly one HBM read of A.
+* At n=128 in bf16x6_cor the bound is the **MXU pass count**, not HBM:
+  each corrected product is 6 rank-m MXU passes (2mn^2 flops each,
+  ~0.7 ms/pass at m=2^22), so CholeskyQR2's three products cost
+  24 passes ~ 16.7 ms while its HBM traffic costs ~13 ms.  Two structural
+  cuts applied here:
 
-Net effect: corrected CholeskyQR2 touches HBM 5x(m*n*4) bytes total
-(read A twice, write Q1/Q2, read Q1) — the roofline for any two-iteration
-Gram method.
+  1. **Symmetric half-Gram**: G = A^T A is symmetric, and so is every
+     split cross-term pair dg(x_i, x_j) + dg(x_j, x_i).  The kernel
+     accumulates P = 0.5*sum_i dg(x_i, x_i) + sum_{i<j} dg(x_i, x_j) and
+     the caller forms G = P + P^T: a bf16x6 Gram drops from 6 MXU passes
+     to 4, bf16x3 from 3 to 2.
+  2. **Chained in-VMEM dot passes**: one kernel applies a whole sequence
+     Q = A R1^{-1} R2^{-1} ... chunk-wise in VMEM (each factor at its own
+     precision) and/or accumulates the half-Gram of the result.  Because
+     the recomputation is bitwise deterministic, CholeskyQR2 never has to
+     write its intermediate Q1 to HBM: pass 3 re-derives Q1 from A with
+     ONE cheap extra dot instead of a 2.1 GB write + read
+     (5 HBM passes -> 4).
+
+Net effect (cholqr2_fused, bf16x6_cor, n=128): 24 MXU passes + 5 HBM
+passes -> 20 + 4 with a full-precision first iteration, or 13 + 4 with a
+sloppy first iteration (see core/cholqr.py for when that is licensed).
 
 This is the TPU re-expression of the reference's "keep the panel resident
 and drive products through the matrix unit" kernel strategy
@@ -23,6 +39,7 @@ and drive products through the matrix unit" kernel strategy
 from __future__ import annotations
 
 import functools
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,35 +54,73 @@ Array = jax.Array
 DEFAULT_CHUNK = 1024
 
 
-def _gram_terms(x: Array, mode: modes.ComputeMode) -> Array:
-    """Split-corrected X^T X of one VMEM-resident chunk (contract dim 0)."""
+def _mode_parts(x: Array, mode: modes.ComputeMode):
+    """Split a VMEM-resident f32 operand into MXU parts for ``mode``.
 
-    def dg(u, v, prec=lax.Precision.DEFAULT):
-        return lax.dot_general(u, v, (((0,), (0,)), ((), ())),
-                               precision=prec,
-                               preferred_element_type=jnp.float32)
-
-    if mode is modes.ComputeMode.FP32:
-        return dg(x, x, lax.Precision.HIGHEST)
-    if mode in (modes.ComputeMode.BF16, modes.ComputeMode.BF16_NOCOR):
-        xb = x.astype(jnp.bfloat16)
-        return dg(xb, xb)
-    if mode is modes.ComputeMode.BF16X3_NOCOR:
-        return dg(x, x, lax.Precision.HIGH)
-    if mode is modes.ComputeMode.BF16X3_COR:
+    Returns (parts, precision, order): x ≈ sum(parts); product terms whose
+    combined residual order exceeds ``order`` are dropped (they fall below
+    the mode's accuracy class — ≙ the reference dropping Δa·Δb unless
+    THREE_TERMS_CORRECTION, tcqr32x16.cu:18, 727-737).
+    """
+    M = modes.ComputeMode
+    if mode is M.FP32:
+        return [x], lax.Precision.HIGHEST, 0
+    if mode in (M.BF16, M.BF16_NOCOR):
+        return [x.astype(jnp.bfloat16)], lax.Precision.DEFAULT, 0
+    if mode is M.BF16X3_NOCOR:
+        return [x], lax.Precision.HIGH, 0
+    if mode is M.BF16X3_COR:
         x0 = x.astype(jnp.bfloat16)
         x1 = (x - x0.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = dg(x0, x0)
-        return g + (dg(x0, x1) + dg(x1, x0))
-    if mode is modes.ComputeMode.BF16X6_COR:
+        return [x0, x1], lax.Precision.DEFAULT, 1
+    if mode is M.BF16X6_COR:
         x0 = x.astype(jnp.bfloat16)
         r = x - x0.astype(jnp.float32)
         x1 = r.astype(jnp.bfloat16)
         x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = dg(x0, x2) + dg(x1, x1) + dg(x2, x0)
-        g = g + (dg(x0, x1) + dg(x1, x0))
-        return g + dg(x0, x0)
-    raise ValueError(f"unsupported in-kernel gram mode {mode}")
+        return [x0, x1, x2], lax.Precision.DEFAULT, 2
+    raise ValueError(f"unsupported in-kernel mode {mode}")
+
+
+def _dot_mode(x: Array, r: Array, mode: modes.ComputeMode) -> Array:
+    """Split-corrected x @ r of VMEM-resident f32 operands."""
+    xp, prec, order = _mode_parts(x, mode)
+    rp, _, _ = _mode_parts(r, mode)
+
+    def mmp(u, v):
+        return jnp.matmul(u, v, precision=prec,
+                          preferred_element_type=jnp.float32)
+
+    acc = None
+    for s in range(order, -1, -1):  # smallest terms first
+        for i in range(len(xp)):
+            j = s - i
+            if 0 <= j < len(rp):
+                t = mmp(xp[i], rp[j])
+                acc = t if acc is None else acc + t
+    return acc
+
+
+def _gram_half(x: Array, mode: modes.ComputeMode) -> Array:
+    """Half-Gram P of one VMEM chunk: X^T X = P + P^T (contract dim 0)."""
+    xp, prec, order = _mode_parts(x, mode)
+
+    def dg(u, v):
+        return lax.dot_general(u, v, (((0,), (0,)), ((), ())),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+
+    acc = None
+    for s in range(order, -1, -1):  # smallest terms first
+        for i in range(len(xp)):
+            j = s - i
+            if i < j < len(xp):
+                t = dg(xp[i], xp[j])
+                acc = t if acc is None else acc + t
+            elif i == j:
+                t = 0.5 * dg(xp[i], xp[i])
+                acc = t if acc is None else acc + t
+    return acc
 
 
 def _pad_chunks(a: Array, chunk: int) -> Array:
@@ -76,44 +131,136 @@ def _pad_chunks(a: Array, chunk: int) -> Array:
     return a
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "chunk", "interpret"))
-def gram_pallas(a: Array, mode: str = "fp32", chunk: int = DEFAULT_CHUNK,
-                interpret: bool = False) -> Array:
-    """G = A^T A with in-VMEM splitting: exactly one HBM read of A."""
-    policy = modes.resolve(mode)
-    a = _pad_chunks(a.astype(jnp.float32), chunk)
-    m_pad, n = a.shape
+def _resolve_mode(mode) -> modes.ComputeMode:
+    return modes.resolve(mode).mode
 
-    def kernel(a_ref, g_ref, comp_ref):
-        # Kahan-compensated accumulation across chunks: the naive f32 sum
-        # over m/chunk contributions caps orthogonality at ~1e-4 for
-        # m = 2^22 (measured); compensation restores ~chunk-local error.
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            g_ref[:, :] = jnp.zeros((n, n), jnp.float32)
-            comp_ref[:, :] = jnp.zeros((n, n), jnp.float32)
-        contrib = _gram_terms(a_ref[:, :].astype(jnp.float32), policy.mode)
-        y = contrib - comp_ref[:, :]
-        t = g_ref[:, :] + y
-        comp_ref[:, :] = (t - g_ref[:, :]) - y
-        g_ref[:, :] = t
 
-    return pl.pallas_call(
+@functools.partial(jax.jit, static_argnames=(
+    "dot_modes", "write_q", "gram_mode", "chunk", "interpret", "out_dtype",
+    "residual"))
+def stream_pallas(a: Array,
+                  rinvs: tuple[Array, ...] = (),
+                  dot_modes: tuple[str, ...] = (),
+                  write_q: bool = False,
+                  gram_mode: str | None = None,
+                  chunk: int = DEFAULT_CHUNK,
+                  interpret: bool = False,
+                  out_dtype=None,
+                  residual: tuple[bool, ...] = ()):
+    """One streaming pass over A: chained dots + optional fused half-Gram.
+
+    Per (chunk, n) VMEM block: x = A_chunk; then x = x @ rinvs[i] at
+    dot_modes[i] precision for each i; optionally writes x to the Q output
+    and/or accumulates the Kahan-compensated half-Gram P of x at
+    ``gram_mode`` precision (caller forms G = P + P^T).
+
+    residual[i]=True makes step i compute x += x @ rinvs[i] instead (pass
+    Delta = Rinv - I): when Rinv is near the identity — every CholeskyQR
+    iteration after the first — the x @ Delta term is ~||Delta|| small, so
+    a cheap 3-pass corrected product suffices where the plain form needs
+    6 (the f32 add re-attaches the identity part exactly).
+
+    Returns [q] if write_q, + [p_half] if gram_mode — as a tuple in that
+    order (single element unpacked).
+    """
+    assert len(rinvs) == len(dot_modes)
+    assert write_q or gram_mode is not None
+    if not residual:
+        residual = (False,) * len(rinvs)
+    assert len(residual) == len(rinvs)
+    m, n = a.shape
+    a = _pad_chunks(a, chunk)
+    m_pad = a.shape[0]
+    dot_ms = tuple(_resolve_mode(d) for d in dot_modes)
+    gram_m = _resolve_mode(gram_mode) if gram_mode is not None else None
+    out_dtype = jnp.dtype(out_dtype if out_dtype is not None else a.dtype)
+    n_r = len(rinvs)
+    rinvs = tuple(r.astype(jnp.float32) for r in rinvs)
+
+    def kernel(*refs):
+        a_ref = refs[0]
+        r_refs = refs[1:1 + n_r]
+        pos = 1 + n_r
+        q_ref = refs[pos] if write_q else None
+        pos += int(write_q)
+        g_ref = refs[pos] if gram_m is not None else None
+        comp_ref = refs[-1] if gram_m is not None else None  # scratch
+
+        x = a_ref[:, :].astype(jnp.float32)
+        for r_ref, md, res in zip(r_refs, dot_ms, residual):
+            y = _dot_mode(x, r_ref[:, :].astype(jnp.float32), md)
+            x = x + y if res else y
+        if write_q:
+            q_ref[:, :] = x.astype(q_ref.dtype)
+        if gram_m is not None:
+            # Kahan-compensated accumulation across chunks: a naive f32
+            # sum over m/chunk contributions caps orthogonality at ~1e-4
+            # for m = 2^22 (measured); compensation restores ~chunk-local
+            # error.
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                g_ref[:, :] = jnp.zeros((n, n), jnp.float32)
+                comp_ref[:, :] = jnp.zeros((n, n), jnp.float32)
+            contrib = _gram_half(x, gram_m)
+            y = contrib - comp_ref[:, :]
+            t = g_ref[:, :] + y
+            comp_ref[:, :] = (t - g_ref[:, :]) - y
+            g_ref[:, :] = t
+
+    nn_spec = pl.BlockSpec((n, n), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((chunk, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [nn_spec] * n_r
+    out_specs, out_shapes = [], []
+    if write_q:
+        out_specs.append(pl.BlockSpec((chunk, n), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((m_pad, n), out_dtype))
+    if gram_m is not None:
+        out_specs.append(nn_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((n, n), jnp.float32))
+
+    # MXU passes per chunk, for the cost model
+    n_pass = sum({modes.ComputeMode.BF16X6_COR: 6,
+                  modes.ComputeMode.BF16X3_COR: 3}.get(md, 1)
+                 for md in dot_ms)
+    if gram_m is not None:
+        n_pass += {modes.ComputeMode.BF16X6_COR: 4,
+                   modes.ComputeMode.BF16X3_COR: 2}.get(gram_m, 1)
+
+    out = pl.pallas_call(
         kernel,
         grid=(m_pad // chunk,),
-        in_specs=[pl.BlockSpec((chunk, n), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=(tuple(out_shapes) if len(out_shapes) > 1
+                   else out_shapes[0]),
+        scratch_shapes=([pltpu.VMEM((n, n), jnp.float32)]
+                        if gram_m is not None else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n * n, bytes_accessed=4 * (m_pad * n + n * n),
+            flops=2 * n_pass * m_pad * n * n,
+            bytes_accessed=(a.dtype.itemsize * m_pad * n
+                            + out_dtype.itemsize * m_pad * n * int(write_q)
+                            + 4 * n * n),
             transcendentals=0),
-    )(a)
+    )(a, *rinvs)
+    outs = list(out) if isinstance(out, (tuple, list)) else [out]
+    if write_q:
+        outs[0] = outs[0][:m]
+    return tuple(outs) if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "chunk", "interpret"))
+def gram_pallas(a: Array, mode: str = "fp32", chunk: int = DEFAULT_CHUNK,
+                interpret: bool = False) -> Array:
+    """G = A^T A with in-VMEM splitting: exactly one HBM read of A."""
+    p = stream_pallas(a, gram_mode=modes.resolve(mode).mode.value,
+                      chunk=chunk, interpret=interpret)
+    return p + p.T
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "chunk", "interpret",
@@ -126,103 +273,12 @@ def qpass_pallas(a: Array, rinv: Array, mode: str = "fp32",
     Returns Q, or (Q, G) when with_gram — the fusion that makes
     CholeskyQR2's second Gram free.
     """
-    policy = modes.resolve(mode)
-    m = a.shape[0]
-    a = _pad_chunks(a.astype(jnp.float32), chunk)
-    m_pad, n = a.shape
-    rinv = rinv.astype(jnp.float32)
-
-    def dot_rinv(x, r):
-        if policy.mode in (modes.ComputeMode.BF16,
-                           modes.ComputeMode.BF16_NOCOR):
-            return jnp.matmul(x.astype(jnp.bfloat16),
-                              r.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        if policy.mode is modes.ComputeMode.BF16X3_COR:
-            x0 = x.astype(jnp.bfloat16)
-            x1 = (x - x0.astype(jnp.float32)).astype(jnp.bfloat16)
-            r0 = r.astype(jnp.bfloat16)
-            r1 = (r - r0.astype(jnp.float32)).astype(jnp.bfloat16)
-            mmb = lambda u, v: jnp.matmul(u, v,
-                                          preferred_element_type=jnp.float32)
-            return mmb(x0, r0) + (mmb(x0, r1) + mmb(x1, r0))
-        if policy.mode is modes.ComputeMode.BF16X6_COR:
-            x0 = x.astype(jnp.bfloat16)
-            xr = x - x0.astype(jnp.float32)
-            x1 = xr.astype(jnp.bfloat16)
-            x2 = (xr - x1.astype(jnp.float32)).astype(jnp.bfloat16)
-            r0 = r.astype(jnp.bfloat16)
-            rr = r - r0.astype(jnp.float32)
-            r1 = rr.astype(jnp.bfloat16)
-            r2 = (rr - r1.astype(jnp.float32)).astype(jnp.bfloat16)
-            mmb = lambda u, v: jnp.matmul(u, v,
-                                          preferred_element_type=jnp.float32)
-            g = mmb(x0, r2) + mmb(x1, r1) + mmb(x2, r0)
-            g = g + (mmb(x0, r1) + mmb(x1, r0))
-            return g + mmb(x0, r0)
-        prec = (lax.Precision.HIGH
-                if policy.mode is modes.ComputeMode.BF16X3_NOCOR
-                else lax.Precision.HIGHEST)
-        return jnp.matmul(x, r, precision=prec,
-                          preferred_element_type=jnp.float32)
-
+    mname = modes.resolve(mode).mode.value
     if with_gram:
-        def kernel(a_ref, rinv_ref, q_ref, g_ref, comp_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                g_ref[:, :] = jnp.zeros((n, n), jnp.float32)
-                comp_ref[:, :] = jnp.zeros((n, n), jnp.float32)
-            q = dot_rinv(a_ref[:, :].astype(jnp.float32), rinv_ref[:, :])
-            q_ref[:, :] = q
-            contrib = _gram_terms(q, policy.mode)
-            y = contrib - comp_ref[:, :]
-            t = g_ref[:, :] + y
-            comp_ref[:, :] = (t - g_ref[:, :]) - y
-            g_ref[:, :] = t
-
-        q, g = pl.pallas_call(
-            kernel,
-            grid=(m_pad // chunk,),
-            in_specs=[pl.BlockSpec((chunk, n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((n, n), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=(pl.BlockSpec((chunk, n), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((n, n), lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
-                       jax.ShapeDtypeStruct((n, n), jnp.float32)),
-            scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=4 * m_pad * n * n,
-                bytes_accessed=4 * (2 * m_pad * n + 2 * n * n),
-                transcendentals=0),
-        )(a, rinv)
-        return q[:m], g
-
-    def kernel(a_ref, rinv_ref, q_ref):
-        q_ref[:, :] = dot_rinv(a_ref[:, :].astype(jnp.float32),
-                               rinv_ref[:, :])
-
-    q = pl.pallas_call(
-        kernel,
-        grid=(m_pad // chunk,),
-        in_specs=[pl.BlockSpec((chunk, n), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((chunk, n), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n * n,
-            bytes_accessed=4 * 2 * m_pad * n, transcendentals=0),
-    )(a, rinv)
-    return q[:m]
+        q, p = stream_pallas(a, (rinv,), (mname,), write_q=True,
+                             gram_mode=mname, chunk=chunk,
+                             interpret=interpret, out_dtype=jnp.float32)
+        return q, p + p.T
+    return stream_pallas(a, (rinv,), (mname,), write_q=True,
+                         chunk=chunk, interpret=interpret,
+                         out_dtype=jnp.float32)

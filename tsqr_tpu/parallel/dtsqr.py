@@ -86,6 +86,37 @@ def dtsqr(a: Array, mesh: Mesh,
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
 
 
+def _dpanel_step(q, r, a_b, c0, mm, tsqr_local, axis: str, reorth: bool,
+                 first: bool = False):
+    """One distributed BlockQR panel (≙ core/blockqr._panel_step with the
+    projection contractions psum-reduced over the sharded m axis).
+    ``q`` columns at >= c0 are zero, so full-width projections are exact."""
+    if first:
+        r12 = None
+        a_p = a_b
+    else:
+        r12 = lax.psum(mm(q.T, a_b), axis)
+        a_p = a_b - mm(q, r12)
+    if not reorth:
+        q_b, r22 = tsqr_local(a_p)
+    elif first:
+        q_b, r2 = tsqr_local(a_p)
+        q_b, w_fac = tsqr_local(q_b)
+        r22 = mm(w_fac, r2)
+    else:
+        q_b, r2 = tsqr_local(a_p)
+        s2 = lax.psum(mm(q.T, q_b), axis)
+        q_b = q_b - mm(q, s2)
+        q_b, w_fac = tsqr_local(q_b)
+        r12 = r12 + mm(s2, r2)
+        r22 = mm(w_fac, r2)
+    if r12 is not None:
+        r = lax.dynamic_update_slice(r, r12.astype(r.dtype), (0, c0))
+    q = lax.dynamic_update_slice(q, q_b.astype(q.dtype), (0, c0))
+    r = lax.dynamic_update_slice(r, r22.astype(r.dtype), (c0, c0))
+    return q, r
+
+
 def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
                     panel_width: int, reorth: bool,
                     **tsqr_kw) -> tuple[Array, Array]:
@@ -93,39 +124,39 @@ def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     (Q^T A_b is a contraction over the sharded m dimension); everything
     else is local.  ≙ block_qr_core / _reorthogonalization_core
     (blockqr.cu:45-390) with cuBLAS GEMMs replaced by psum-reduced local
-    GEMMs and TSQR replaced by the ICI tree above."""
+    GEMMs and TSQR replaced by the ICI tree above.  The panel loop runs
+    as a lax.fori_loop over equal-width panels (body traced once, O(1)
+    compile time in n — see core/blockqr.py module docstring); a ragged
+    final panel gets one statically traced epilogue step."""
     mm = policy.mm
     m_loc, n = a_shard.shape
     nb = min(panel_width, n)
-    n_blocks = -(-n // nb)
 
     def _tsqr_local(x):
         return _tsqr_shard(x, policy, axis, 0, **tsqr_kw)
 
     q = jnp.zeros((m_loc, n), jnp.float32)
     r = jnp.zeros((n, n), jnp.float32)
-    for b in range(n_blocks):
+    if n <= nb:
+        q, r = _dpanel_step(q, r, a_shard, 0, mm, _tsqr_local, axis, reorth,
+                            first=True)
+        return q, jnp.triu(r)
+
+    n_full = n // nb
+    w_tail = n - n_full * nb
+
+    def body(b, carry):
+        qc, rc = carry
         c0 = b * nb
-        w = min(nb, n - c0)
-        a_b = a_shard[:, c0:c0 + w]
-        if b == 0:
-            q_b, r22 = _tsqr_local(a_b)
-        else:
-            q_prev = q[:, :c0]
-            r12 = lax.psum(mm(q_prev.T, a_b), axis)
-            a_p = a_b - mm(q_prev, r12)
-            if not reorth:
-                q_b, r22 = _tsqr_local(a_p)
-            else:
-                q_b, r2 = _tsqr_local(a_p)
-                s2 = lax.psum(mm(q_prev.T, q_b), axis)
-                q_b = q_b - mm(q_prev, s2)
-                q_b, w_fac = _tsqr_local(q_b)
-                r12 = r12 + mm(s2, r2)
-                r22 = mm(w_fac, r2)
-            r = lax.dynamic_update_slice(r, r12, (0, c0))
-        q = lax.dynamic_update_slice(q, q_b.astype(jnp.float32), (0, c0))
-        r = lax.dynamic_update_slice(r, r22.astype(jnp.float32), (c0, c0))
+        a_b = lax.dynamic_slice(a_shard, (0, c0), (m_loc, nb))
+        return _dpanel_step(qc, rc, a_b, c0, mm, _tsqr_local, axis, reorth)
+
+    q, r = _dpanel_step(q, r, a_shard[:, :nb], 0, mm, _tsqr_local, axis,
+                        reorth, first=True)
+    q, r = lax.fori_loop(1, n_full, body, (q, r))
+    if w_tail:
+        q, r = _dpanel_step(q, r, a_shard[:, n_full * nb:], n_full * nb,
+                            mm, _tsqr_local, axis, reorth)
     return q, jnp.triu(r)
 
 
@@ -145,9 +176,7 @@ def _dcholqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     g = gram_psum(a_shard)
     if method == "cholqr3":
         m_glob = a_shard.shape[0] * lax.psum(1, axis)
-        eps = jnp.float32(6.0e-8)
-        shift = 11.0 * (m_glob * n + n * (n + 1)) * eps * jnp.trace(g)
-        r1 = cholqr._chol_r(g, shift=shift)
+        r1 = cholqr._chol_r(g, shift=cholqr._shift_value(g, m_glob, n))
     else:
         r1 = cholqr._chol_r(g)
     q1 = cholqr._q_pass(a_shard, r1, mm)

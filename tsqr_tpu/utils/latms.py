@@ -52,11 +52,11 @@ def rand_matrix_with_cond(key: Array, m: int, n: int, cond: float,
     target = float(cond)
     for _ in range(max_tries):
         key, k_s, k_a = jax.random.split(key, 3)
-        # uniform singular values in [1/cond^(1/2) ... ] following the
-        # reference: s_i ~ U(1/sqrt(cond), 1), then pin s_0 = 1,
+        # interior singular values s_i ~ U(1/sqrt(cond), 1) following the
+        # reference protocol (test_cond.cu:29-38), then pin s_0 = 1,
         # s_{n-1} = 1/cond so cond(A) = cond exactly in exact arithmetic.
         s = jax.random.uniform(k_s, (n,), jnp.float32,
-                               minval=1.0 / target, maxval=1.0)
+                               minval=target ** -0.5, maxval=1.0)
         s = jnp.sort(s)[::-1]
         s = s.at[0].set(1.0).at[n - 1].set(1.0 / target)
         a = latms(k_a, m, n, s)

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 
 def _force(out) -> float:
-    leaves = jax.tree_util.tree_leaves(out)
+    # optimization_barrier before slicing: today XLA keeps the full-size
+    # work (verified in optimized HLO), but nothing else prevents a future
+    # slice-sinking/DCE rewrite from eliding m-scale compute and inflating
+    # reported throughput.
+    leaves = jax.lax.optimization_barrier(jax.tree_util.tree_leaves(out))
     acc = 0.0
     for leaf in leaves:
         acc += float(jnp.sum(leaf[..., :1]))  # tiny slice: forces execution
@@ -45,41 +49,60 @@ def time_fn(fn: Callable, inputs: Sequence, iters: int = 4,
 def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3) -> float:
     """Seconds per call of fn(x), amortizing dispatch latency.
 
-    Chains ``loops`` applications inside ONE jitted program with a data
-    dependence between iterations (a cheap input perturbation derived from
-    the previous output prevents CSE from collapsing the chain), so a
-    single round trip covers all of them.
+    Chains ``loops`` applications inside ONE jitted program, serialized by
+    threading a scalar derived from each output into an
+    ``optimization_barrier`` on the next iteration's input.  The barrier
+    is free at runtime (identity, no copy) but makes every fn call's
+    input a distinct value, so CSE/LICM cannot collapse the chain.
+
+    (A previous version perturbed the full carry ``x0 + bump`` instead —
+    that added a read+write of the whole operand per iteration, inflating
+    every measurement by ~7 ms at 2^22 x 128 f32 on v5e and masking that
+    the kernels were already bandwidth-saturated.)
     """
 
-    @jax.jit
-    def chained(x0):
-        def body(carry, _):
-            out = fn(carry)
-            leaves = jax.tree_util.tree_leaves(out)
-            bump = jnp.asarray(0.0, x0.dtype)
-            for leaf in leaves:
-                bump = bump + jnp.sum(leaf[..., :1, :1]).astype(x0.dtype) * 1e-12
-            return x0 + bump, None
+    def make_chain(f):
+        @jax.jit
+        def chained(x0):
+            def body(carry, _):
+                xc, acc = carry
+                out = f(xc)
+                # barrier before the slice so no simplifier pass can sink
+                # the slice into f and elide m-scale work (see _force)
+                leaves = jax.lax.optimization_barrier(
+                    jax.tree_util.tree_leaves(out))
+                acc2 = jnp.zeros((), jnp.float32)
+                for leaf in leaves:
+                    acc2 = acc2 + leaf.ravel()[0].astype(jnp.float32)
+                # serialize iterations by touching ONE element of the
+                # carry in place (dynamic_update_slice on a loop carry is
+                # in-place in XLA while loops — no full-array traffic;
+                # a plain optimization_barrier tying the input to acc is
+                # NOT enough: XLA splits tuple barriers and hoists the
+                # then-loop-invariant f out of the loop, measured).
+                flat = xc.reshape(-1)
+                upd = flat[:1] + (acc2 * 1e-30).astype(xc.dtype)
+                xc2 = jax.lax.dynamic_update_slice(
+                    flat, upd, (0,)).reshape(xc.shape)
+                return (xc2, acc2), None
 
-        out, _ = jax.lax.scan(body, x0, None, length=loops)
-        return jnp.sum(out[..., :1])
+            (_, acc), _ = jax.lax.scan(
+                body, (x0, jnp.zeros((), jnp.float32)), None, length=loops)
+            return acc
 
-    # measure the chained program and an empty-ish reference
-    float(chained(x))  # warm-up/compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chained(x))
-        best = min(best, time.perf_counter() - t0)
+        return chained
 
-    @jax.jit
-    def null(x0):
-        return jnp.sum(x0[..., :1])
+    def best_of(g):
+        float(g(x))  # warm-up/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    float(null(x))
-    t_null = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(null(x))
-        t_null = min(t_null, time.perf_counter() - t0)
-    return max((best - t_null) / loops, 1e-9)
+    t_chain = best_of(make_chain(fn))
+    # null chain with a trivial body: measures dispatch + scan + the
+    # carry-touch overhead, subtracted so t reflects fn alone
+    t_null = best_of(make_chain(lambda x0: x0.ravel()[:1] * 1.0))
+    return max((t_chain - t_null) / loops, 1e-9)
