@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Round-2 measured-data campaign on the real TPU chip.
+
+Each section is independently runnable/restartable (the tunnel wedges
+occasionally); CSV rows flush as they land (≙ the reference harness's
+crash-resume behavior, test.cu:228).
+
+Sections:
+  wide_acc        accuracy over the reference wide-n grid
+                  m=2^10..2^15 x n=2^10..2^m (≙ main.cu:96-100)
+  wide_acc_reorth same, reorthogonalized
+  wide_speed      speed over the same grid + jnp.linalg.qr golden rows
+  bigm            m=2^23 (corrected, fp32 IO) and m=2^24 (bf16 IO) rows
+  mfu             the MFU table (harness/mfu.py)
+  cond            full reference cond config m=2^15 n=2^7 kappa=2^2..2^15
+                  incl. golden rows (≙ main.cu:104-112)
+  exponent        per-tree-level exponent histograms, bf16 vs fp16-range
+                  clamp (≙ EVALUATE_EXPONENT_DISTRIBUTION, tsqr.cu:26)
+
+Run: python scripts/run_round2_data.py <section>
+"""
+
+import os
+import pathlib
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+DATA = ROOT / "data"
+DATA.mkdir(exist_ok=True)
+
+MODES = ["fp32", "bf16_nocor", "bf16x3_cor", "bf16x6_cor"]
+WIDE_MS = [1 << k for k in range(10, 16)]
+WIDE_NS = [1 << k for k in range(10, 16)]
+KW = dict(panel_width=128, leaf_rows=2048)
+
+
+def _trials(m, n):
+    mn = m * n
+    if mn <= 1 << 24:
+        return 16  # reference C (test.cu C=16)
+    if mn <= 1 << 27:
+        return 8
+    return 4
+
+
+def wide_acc(reorth=False):
+    from tsqr_tpu.harness import accuracy
+
+    name = "accuracy_wide_reorth.csv" if reorth else "accuracy_wide.csv"
+    with open(DATA / name, "w") as f:
+        print(accuracy.CSV_HEADER, file=f, flush=True)
+        for mode in MODES:
+            for m in WIDE_MS:
+                for n in WIDE_NS:
+                    if n > m:
+                        continue
+                    try:
+                        row = accuracy.accuracy_row(
+                            m, n, mode, reorth=reorth,
+                            trials=_trials(m, n), **KW)
+                    except Exception as e:
+                        print(f"# error m={m} n={n} mode={mode}: "
+                              f"{type(e).__name__}: {str(e)[:200]}",
+                              file=f, flush=True)
+                        continue
+                    print(accuracy.format_row(row), file=f, flush=True)
+                    print(f"acc m={m} n={n} {mode} reorth={reorth}: "
+                          f"res={row['residual']:.2e} "
+                          f"orth={row['orthogonality']:.2e}",
+                          file=sys.stderr, flush=True)
+
+
+def wide_speed():
+    from tsqr_tpu.harness import baseline, speed
+
+    with open(DATA / "speed_wide.csv", "w") as f:
+        print(speed.CSV_HEADER, file=f, flush=True)
+        for mode in MODES:
+            for m in WIDE_MS:
+                for n in WIDE_NS:
+                    if n > m:
+                        continue
+                    try:
+                        row = speed.speed_row(m, n, mode, trials=4, **KW)
+                    except Exception as e:
+                        print(f"# error m={m} n={n} mode={mode}: "
+                              f"{type(e).__name__}: {str(e)[:200]}",
+                              file=f, flush=True)
+                        continue
+                    print(speed.format_row(row), file=f, flush=True)
+                    print(f"speed m={m} n={n} {mode}: "
+                          f"{row['elapsed_time']*1e3:.1f} ms "
+                          f"{row['tflops']:.2f} TF", file=sys.stderr,
+                          flush=True)
+        # golden rows (≙ cusolver_speed, test.cu:497-593)
+        for m in WIDE_MS:
+            for n in WIDE_NS:
+                if n > m:
+                    continue
+                try:
+                    row = baseline.baseline_speed_row(m, n, trials=2)
+                except Exception as e:
+                    print(f"# error golden m={m} n={n}: "
+                          f"{type(e).__name__}: {str(e)[:200]}",
+                          file=f, flush=True)
+                    continue
+                print(speed.format_row(row), file=f, flush=True)
+                print(f"golden m={m} n={n}: "
+                      f"{row['elapsed_time']*1e3:.1f} ms", file=sys.stderr,
+                      flush=True)
+
+
+def bigm():
+    """The m >= 2^23 rows (BASELINE target shape M=2^24 x N=128)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.harness import flops as flops_mod
+    from tsqr_tpu.utils import timing, validation
+
+    n = 128
+    rows = []
+
+    def gen(m, dtype):
+        # quarter-wise generation bounds the u32-bits transient
+        parts = []
+        for i in range(4):
+            k = jax.random.PRNGKey(1000 + i)
+            parts.append(jax.random.uniform(
+                k, (m // 4, n), jnp.float32, -1, 1).astype(dtype))
+        return jnp.concatenate(parts, axis=0)
+
+    with open(DATA / "bigm.csv", "w") as f:
+        print("m,n,compute_mode,method,elapsed_time,tflops,orthogonality,"
+              "residual", file=f, flush=True)
+        configs = [
+            # "compact" never materializes Q1: peak A+Q = 8.6 GB at 2^23 f32
+            (1 << 23, "bf16x6_cor", "cholqr2_fused", "compact", jnp.float32),
+            (1 << 24, "bf16", "cholqr1_fused", "safe", jnp.bfloat16),
+            (1 << 24, "bf16", "cholqr2_fused", "safe", jnp.bfloat16),
+        ]
+        for m, mode, method, variant, dtype in configs:
+            try:
+                a = gen(m, dtype)
+
+                def fn(x):
+                    return cholqr.fastqr(x, mode, method=method,
+                                         variant=variant)
+
+                q, r = jax.jit(fn)(a)
+                orth = float(validation.orthogonality_accurate(q))
+                res = float(validation.residual_device_chunked(a, q, r))
+                del q, r
+                t = timing.time_fn_amortized(fn, a, loops=4, reps=3)
+                fl = flops_mod.qr_flops(m, n)
+                row = (f"{m},{n},{mode},{method}[{variant}],{t:.6e},"
+                       f"{fl/t/1e12:.3f},{orth:.3e},{res:.3e}")
+                print(row, file=f, flush=True)
+                print("bigm: " + row, file=sys.stderr, flush=True)
+                del a
+                import gc
+                gc.collect()
+            except Exception as e:
+                print(f"# error m={m} {mode}/{method}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=f,
+                      flush=True)
+
+
+def mfu():
+    from tsqr_tpu.harness import mfu as mfu_mod
+
+    with open(DATA / "mfu.csv", "w") as f:
+        mfu_mod.sweep(out=f)
+
+
+def cond():
+    from tsqr_tpu.harness import cond as cond_mod
+
+    with open(DATA / "cond.csv", "w") as f:
+        cond_mod.sweep(1 << 15, 1 << 7, [2.0 ** k for k in range(2, 16)],
+                       MODES + ["golden"], reorths=(False, True),
+                       trials=4, out=f, **KW)
+
+
+def exponent():
+    """Per-tree-level exponent histograms: pristine bf16 pipeline vs
+    fp16-exponent-range clamped inputs (the reference's underflow study,
+    validation.cu:214-237 + scripts/exponent_distribution/mk_graph.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tsqr_tpu.core import tsqr as tsqr_mod
+    from tsqr_tpu.utils import experimental, validation
+
+    m, n = 1 << 18, 128
+    # small-magnitude data exercises the underflow region like the
+    # reference study (inputs scaled so fp16's 2^-14 floor bites)
+    a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32,
+                           -1, 1) * 1e-4
+
+    with open(DATA / "exponent.csv", "w") as f:
+        print("variant,level,exponent,count", file=f, flush=True)
+        for variant, x in (("bf16", a),
+                           ("fp16_range",
+                            experimental.clamp_exponent_range(a, -14, 15))):
+            q, r, level_qs = tsqr_mod.tsqr(x, "bf16", leaf_rows=2048,
+                                           collect_level_q=True)
+            for lvl, lq in enumerate(level_qs):
+                hist = validation.exponent_distribution(np.asarray(lq))
+                for e, c in sorted(hist.items()):
+                    print(f"{variant},{lvl},{e},{c}", file=f, flush=True)
+            orth = validation.orthogonality(np.asarray(q, np.float64))
+            print(f"# {variant}: orthogonality={orth:.3e}", file=f,
+                  flush=True)
+            print(f"exponent[{variant}]: orth={orth:.3e}", file=sys.stderr,
+                  flush=True)
+
+
+SECTIONS = {"wide_acc": lambda: wide_acc(False),
+            "wide_acc_reorth": lambda: wide_acc(True),
+            "wide_speed": wide_speed, "bigm": bigm, "mfu": mfu,
+            "cond": cond, "exponent": exponent}
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else None
+    if which not in SECTIONS:
+        print(f"usage: {sys.argv[0]} {{{','.join(SECTIONS)}}}",
+              file=sys.stderr)
+        sys.exit(2)
+    from tsqr_tpu.utils import status
+    status.print_banner(file=sys.stderr)
+    SECTIONS[which]()

@@ -90,6 +90,21 @@ def test_panel_qr_pallas_compiled(mode):
         assert validation.orthogonality(q[i]) < tol
 
 
+def test_panel_qr_sb_compiled():
+    # sublane-batched multi-tile kernel (8 tiles per serial chain)
+    from tsqr_tpu.ops import pallas_panel_sb
+    from tsqr_tpu.utils import validation
+    b, L, n = 16, 512, 128
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(-1, 1, (b, L, n)).astype(np.float32))
+    qt, r = pallas_panel_sb.panel_qr_pallas_sb(a, mode="fp32", block=32)
+    q = np.asarray(qt).transpose(0, 2, 1)
+    for i in range(b):
+        assert validation.residual(np.asarray(a)[i], q[i],
+                                   np.asarray(r)[i]) < 1e-5
+        assert validation.orthogonality(q[i]) < 1e-5
+
+
 def test_fused_cholqr3_compiled_accuracy():
     from tsqr_tpu.core import cholqr
     from tsqr_tpu.utils import validation

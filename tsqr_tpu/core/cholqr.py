@@ -116,7 +116,9 @@ def cholqr1_fused(a: Array,
     IO that is 8mn bytes total for the whole factorization."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64:
+    if a.shape[1] < 64 or a.shape[1] > 2048:
+        # narrow: lane-tile waste; wide: the (n, n) VMEM accumulator of
+        # the streaming kernels exceeds VMEM — XLA variant either way
         return cholqr1(a, mode)
 
     policy = modes.resolve(mode)
@@ -218,15 +220,21 @@ def cholqr2_fused(a: Array,
     * "fastest" (kappa <~ 10): additionally Gram #1 in plain bf16 — its
       error only degrades the preconditioner, which Gram #2 measures and
       repairs; 14 passes.
+    * "compact" (kappa <~ 500): HBM-capacity mode — Q1 is never
+      materialized; the final pass re-derives it from A bitwise in VMEM
+      (6 extra MXU passes) and applies the Delta correction.  Peak HBM
+      footprint is A + Q only (vs A + Q1 + Q): the enabler for
+      M=2^23 x N=128 f32 on a 16 GB chip.  ~10 % slower than "fast" at
+      2^22 (measured) — use only when capacity-bound.
 
     Narrow panels delegate to the XLA variant: below ~half a lane tile the
     streaming kernels waste most of each (chunk, 128) lane tile (measured
     at n=16: 5.1 ms fused vs ~0.1 ms XLA for m=2^20)."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64:
-        return cholqr2(a, mode)
-    assert variant in ("safe", "fast", "fastest")
+    if a.shape[1] < 64 or a.shape[1] > 2048:
+        return cholqr2(a, mode)  # see cholqr1_fused delegation note
+    assert variant in ("safe", "fast", "fastest", "compact")
 
     policy = modes.resolve(mode)
     mname = policy.mode.value
@@ -237,15 +245,23 @@ def cholqr2_fused(a: Array,
     g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
     r1 = _chol_r(g)
 
-    if policy.mode in _CHEAP_DOT:
+    if policy.mode in _CHEAP_DOT or variant == "compact":
         # recompute pipeline: 4 HBM passes, no Q1 materialized
+        dmode = _DELTA_MODE.get(policy.mode)
         p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mname,),
                                        gram_mode=mname, interpret=interpret)
         r2 = _chol_r(p2 + p2.T)
-        q = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2)),
-                                      (mname, mname), write_q=True,
-                                      interpret=interpret,
-                                      out_dtype=policy.io_dtype)
+        if variant == "compact" and dmode is not None:
+            q = pallas_gram.stream_pallas(a, (_rinv(r1), _delta(r2)),
+                                          (mname, dmode),
+                                          residual=(False, True),
+                                          write_q=True, interpret=interpret,
+                                          out_dtype=policy.io_dtype)
+        else:
+            q = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2)),
+                                          (mname, mname), write_q=True,
+                                          interpret=interpret,
+                                          out_dtype=policy.io_dtype)
     else:
         q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
                                           interpret=interpret,
@@ -277,8 +293,8 @@ def cholqr3_fused(a: Array,
     in bf16 (kappa <~ 10; see cholqr2_fused)."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64:
-        return cholqr3(a, mode)
+    if a.shape[1] < 64 or a.shape[1] > 2048:
+        return cholqr3(a, mode)  # see cholqr1_fused delegation note
     assert variant in ("safe", "fast", "fastest")
 
     policy = modes.resolve(mode)

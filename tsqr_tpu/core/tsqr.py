@@ -99,6 +99,25 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
             # transposed-Q output feeds the backward dot_general for free
             return qt.transpose(0, 2, 1), r
         return call
+    if impl in ("pallas_sb", "pallas_sb_interpret"):
+        # sublane-batched multi-tile kernel: 8 tiles share one serial
+        # reflector chain (7x faster than the single-tile kernel at
+        # 2^20 x 128, measured v5e).  Small/ragged batches (the top tree
+        # levels) fall back to the vmapped XLA path — they are tiny.
+        from tsqr_tpu.ops import pallas_panel_sb
+
+        def call(x):
+            B = x.shape[0]
+            # 16 tiles/chain beats 8 when the batch allows it (23.5 vs
+            # 24.7 ms at 2^20 x 128, measured v5e)
+            T = 16 if B % 16 == 0 else pallas_panel_sb.DEFAULT_TILES
+            if B % T != 0:
+                return _batched_qr(x, policy.mm, block)
+            qt, r = pallas_panel_sb.panel_qr_pallas_sb(
+                x, mode=policy.mode.value, block=block, tiles=T,
+                interpret=(impl == "pallas_sb_interpret"))
+            return qt.transpose(0, 2, 1), r
+        return call
     raise ValueError(f"unknown impl {impl!r}")
 
 

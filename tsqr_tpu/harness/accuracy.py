@@ -29,19 +29,33 @@ CSV_HEADER = ("m,n,rand_range,type,compute_mode,reorthogonalization,"
 
 def accuracy_row(m: int, n: int, mode: str, reorth: bool = False,
                  rand_range: float = 1.0, trials: int = 16, seed: int = 0,
-                 **qr_kw) -> dict:
-    """One config: C random trials -> mean/variance of both metrics."""
+                 metrics: str = "auto", **qr_kw) -> dict:
+    """One config: C random trials -> mean/variance of both metrics.
+
+    metrics: "host" (fp64 golden, ≙ the reference's device-fp64
+    validation.cu:43-80), "device" (chunked on-device f32: Kahan wide
+    Gram for orthogonality, HIGHEST residual — calibrated against host
+    fp64, see validation.py), or "auto" (host up to m*n = 2^26; the
+    tunnel transfers at ~26 MB/s, so host metrics do not scale to the
+    wide-n grid)."""
     policy = modes.resolve(mode)
     fn = jax.jit(lambda x: blockqr.qr(x, policy, reorth=reorth, **qr_kw))
     key = jax.random.PRNGKey(seed)
+    if metrics == "auto":
+        metrics = "host" if m * n <= (1 << 26) else "device"
     residuals, orths = [], []
     for t in range(trials):
         key, k = jax.random.split(key)
         a = jax.random.uniform(k, (m, n), jnp.float32,
                                -rand_range, rand_range)
         q, r = fn(a)
-        residuals.append(validation.residual(a, q, r))
-        orths.append(validation.orthogonality(q))
+        if metrics == "device":
+            residuals.append(float(validation.residual_device_chunked(
+                a, q, r)))
+            orths.append(validation.orthogonality_accurate(q))
+        else:
+            residuals.append(validation.residual(a, q, r))
+            orths.append(validation.orthogonality(q))
     residuals, orths = np.array(residuals), np.array(orths)
     return {
         "m": m, "n": n, "rand_range": rand_range, "type": "float32",

@@ -57,6 +57,8 @@ def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
     if method == "cholqr2_fused":
         if mode in _CHEAP:
             return g + (d + g) + 2 * d          # recompute pipeline
+        if variant == "compact":
+            return g + (d + g) + d + _DELTA.get(mode, d)
         last = _DELTA.get(mode, d) if variant != "safe" else d
         return g1 + (d + g) + last              # write-Q1 pipeline
     if method == "cholqr3_fused":
@@ -66,14 +68,15 @@ def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
     raise ValueError(method)
 
 
-def fused_hbm_bytes(m: int, n: int, mode: str, method: str) -> int:
+def fused_hbm_bytes(m: int, n: int, mode: str, method: str,
+                    variant: str = "safe") -> int:
     """HBM bytes moved by the fused pipelines (m-scale traffic only)."""
     io = 2 if mode == "bf16" else 4
     mn = m * n
     if method == "cholqr1_fused":
         return io * mn * 3                      # rA (gram), rA + wQ
     if method == "cholqr2_fused":
-        if mode in _CHEAP:
+        if mode in _CHEAP or variant == "compact":
             return io * mn * 4                  # rA, rA, rA + wQ
         return io * mn * 5                      # rA, rA + wQ1, rQ1 + wQ
     if method == "cholqr3_fused":

@@ -61,7 +61,7 @@ def mfu_row(m: int, n: int, mode: str, method: str, variant: str = "safe",
     useful = flops_mod.qr_flops(m, n)
     passes = flops_mod.fused_mxu_passes(mode, method, variant)
     method_fl = passes * 2.0 * m * n * n
-    hbm = flops_mod.fused_hbm_bytes(m, n, mode, method)
+    hbm = flops_mod.fused_hbm_bytes(m, n, mode, method, variant)
     return {"m": m, "n": n, "compute_mode": mode, "method": method,
             "variant": variant, "elapsed_time": t, "orthogonality": orth,
             "useful_tflops": useful / t / 1e12,

@@ -169,6 +169,10 @@ def stream_pallas(a: Array,
         residual = (False,) * len(rinvs)
     assert len(residual) == len(rinvs)
     m, n = a.shape
+    # keep the scoped-VMEM footprint (chunk block + splits + (n, n)
+    # accumulators) under the limit at wide n (n=2048 with chunk=1024
+    # measured 102.9M vs the 100M budget)
+    chunk = min(chunk, max(512, (1 << 20) // n))
     a = _pad_chunks(a, chunk)
     m_pad = a.shape[0]
     dot_ms = tuple(_resolve_mode(d) for d in dot_modes)

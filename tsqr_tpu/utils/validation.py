@@ -94,20 +94,122 @@ def orthogonality_accurate(q) -> float:
 
     A naive on-device fp32 Gram accumulates ~sqrt(m)*eps of *measurement*
     error (at m=2^22 that is ~3e-4 — swamping an fp32-grade Q); the
-    Kahan-compensated streaming Gram kernel measures to ~1e-9.  On
-    non-TPU backends falls back to host fp64.
+    Kahan-compensated streaming Gram kernel measures to ~1e-9.  Beyond
+    the Pallas kernel's VMEM budget (n > 2048) the wide column-blocked
+    XLA variant below takes over.  On non-TPU backends falls back to
+    host fp64.
     """
     import jax
 
     if jax.devices()[0].platform == "tpu":
         import jax.numpy as jnp
-        from tsqr_tpu.ops import pallas_gram
 
         q = jnp.asarray(q)
         n = q.shape[1]
+        if n > 2048:
+            return float(orthogonality_wide_device(q))
+        from tsqr_tpu.ops import pallas_gram
         g = pallas_gram.gram_pallas(q, "fp32", chunk=1024)
         return float(jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n * 1.0))
     return orthogonality(q)
+
+
+def orthogonality_wide_device(q: Array, col_block: int = 2048,
+                              row_chunk: int = 8192) -> Array:
+    """||Q^T Q - I||_F / sqrt(n) for n beyond VMEM-accumulator sizes.
+
+    Column-blocked: for each block of columns, the (n, cb) Gram slab is
+    accumulated over row chunks with Kahan compensation in plain XLA
+    (carry 2 x (n, cb) f32 — bounded memory for any n), then its
+    deviation from the identity slab is folded into a running squared
+    norm.  Measurement error ~ eps * sqrt(row_chunk), independent of m.
+    """
+    from jax import lax
+
+    q = q.astype(jnp.float32)
+    m, n = q.shape
+    cb = min(col_block, n)
+    n_pad = -(-n // cb) * cb
+    rc = min(row_chunk, m)
+    m_pad = -(-m // rc) * rc
+    if m_pad != m:
+        q = jnp.pad(q, ((0, m_pad - m), (0, 0)))
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))  # only last block ragged
+
+    n_row_chunks = m_pad // rc
+
+    def col_block_norm2(j, acc):
+        c0 = j * cb
+
+        def chunk(i, carry):
+            g, comp = carry
+            # dynamic_slice (not scan-over-reshaped-xs): XLA materializes
+            # loop-owned copies of scan xs — OOM at large m (measured)
+            qc = lax.dynamic_slice(q, (i * rc, 0), (rc, q.shape[1]))
+            blk = lax.dynamic_slice(qc, (0, c0), (rc, cb))
+            contrib = lax.dot_general(
+                qc, blk, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)       # (n_pad, cb)
+            y = contrib - comp
+            t = g + y
+            comp = (t - g) - y
+            return t, comp
+
+        z = jnp.zeros((q.shape[1], cb), jnp.float32)
+        g, _ = lax.fori_loop(0, n_row_chunks, chunk, (z, z))
+        rows = lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        cols = lax.broadcasted_iota(jnp.int32, g.shape, 1) + c0
+        eye = jnp.where(rows == cols, 1.0, 0.0)
+        valid = (rows < n) & (cols < n)
+        d = jnp.where(valid, g - eye, 0.0)
+        return acc + jnp.sum(d * d)
+
+    n_col_blocks = q.shape[1] // cb
+    total = lax.fori_loop(0, n_col_blocks, col_block_norm2,
+                          jnp.zeros((), jnp.float32))
+    return jnp.sqrt(total) / jnp.sqrt(n * 1.0)
+
+
+def residual_device_chunked(a: Array, q: Array, r: Array,
+                            row_chunk: int = 4096) -> Array:
+    """||A - QR||_F / ||A||_F on device with bounded memory (row-chunked
+    scan; never materializes the full m x n difference).  Measurement
+    noise ~ eps*sqrt(n) per entry — calibrated at 2^13 x 2^13 against
+    host fp64: device 3.48e-7 vs host 2.82e-7 (same order; fine for the
+    reference's 1e-6..6e-2 plot envelope)."""
+    from jax import lax
+
+    # NO up-front astype (a second full-size HBM copy — OOM at m=2^24),
+    # and NO lax.scan over reshaped views (XLA materializes loop-owned
+    # copies of the xs — measured OOM at m=2^24 with 7 GB headroom):
+    # fori_loop + dynamic_slice reads the original buffers in place.
+    r = r.astype(jnp.float32)
+    m, n = a.shape
+    rc = min(row_chunk, m)
+    m_pad = -(-m // rc) * rc
+    if m_pad != m:
+        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
+        q = jnp.pad(q, ((0, m_pad - m), (0, 0)))
+
+    @jax.jit
+    def run(a, q, r):
+        def body(i, carry):
+            d2, a2 = carry
+            ac = lax.dynamic_slice(a, (i * rc, 0), (rc, n))
+            qc = lax.dynamic_slice(q, (i * rc, 0), (rc, n))
+            ac = ac.astype(jnp.float32)
+            d = ac - jnp.matmul(qc.astype(jnp.float32), r,
+                                precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+            return d2 + jnp.sum(d * d), a2 + jnp.sum(ac * ac)
+
+        d2, a2 = lax.fori_loop(0, m_pad // rc, body,
+                               (jnp.zeros((), jnp.float32),) * 2)
+        return jnp.sqrt(d2) / jnp.sqrt(a2)
+
+    return run(a, q, r)
 
 
 def exponent_distribution(x, name: str = "") -> dict[int, int]:
