@@ -64,6 +64,29 @@ def test_dqr_reorth(mesh8):
     assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-5
 
 
+def test_dtsqr_butterfly(mesh8):
+    # pairwise ppermute R-tree (SURVEY §5 alternative, for large meshes)
+    m, n = 4096, 32
+    a = _rand(m, n, seed=7)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = jax.jit(lambda x: dtsqr.dtsqr(x, mesh8, "fp32", leaf_rows=128,
+                                         tree="butterfly"))(ax)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+
+
+def test_dtsqr_butterfly_matches_allgather_R(mesh8):
+    a = _rand(2048, 16, seed=8)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    _, r_b = dtsqr.dtsqr(ax, mesh8, "fp32", leaf_rows=128, tree="butterfly")
+    _, r_g = dtsqr.dtsqr(ax, mesh8, "fp32", leaf_rows=128)
+    rb, rg = np.asarray(r_b), np.asarray(r_g)
+    s = np.sign(np.diag(rb)) * np.sign(np.diag(rg))
+    np.testing.assert_allclose(rb * s[:, None], rg, rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize("method", ["cholqr2", "cholqr3"])
 def test_dcholqr(mesh8, method):
     m, n = 2048, 32

@@ -81,6 +81,28 @@ def test_corrected_beats_uncorrected():
     assert on["bf16x6_cor"] < 5e-6  # fp32_tc_cor-grade (BASELINE.md target)
 
 
+@pytest.mark.parametrize("m", [100, 4096])  # single-leaf and tree paths
+def test_want_q_false_r_only(m):
+    # the forward-only program (≙ the compute-R half of MEASURE_QR_TIME,
+    # tsqr.cu:24) must reproduce the full program's R bit-for-bit
+    a = _rand(m, 16, seed=9)
+    _, r_full = tsqr_mod.tsqr(a, "fp32", leaf_rows=256)
+    q_none, r_only = tsqr_mod.tsqr(a, "fp32", leaf_rows=256, want_q=False)
+    assert q_none is None
+    np.testing.assert_array_equal(np.asarray(r_only), np.asarray(r_full))
+
+
+def test_phase_split_smoke():
+    # the honest MEASURE_QR_TIME analogue: full vs R-only fused programs
+    from tsqr_tpu.harness import profile
+    import io
+    buf = io.StringIO()
+    res = profile.tsqr_phase_split(2048, 16, "fp32", out=buf, leaf_rows=256)
+    assert res["total_s"] > 0 and res["compute_r_s"] > 0
+    assert 0 <= res["q_pct"] <= 100
+    assert "compute-R" in buf.getvalue()
+
+
 def test_collect_level_q_instrumentation():
     # ≙ EVALUATE_EACH_SMALL_Q (tsqr.cu:25): every tree level's Q tiles must
     # be orthogonal

@@ -123,7 +123,7 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
 
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
                                              "leaf_qr", "impl", "block",
-                                             "collect_level_q"))
+                                             "collect_level_q", "want_q"))
 def tsqr(a: Array,
          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
          leaf_rows: int = DEFAULT_LEAF_ROWS,
@@ -131,7 +131,8 @@ def tsqr(a: Array,
          leaf_qr: Callable | None = None,
          impl: str = "jnp",
          block: int = DEFAULT_BLOCK,
-         collect_level_q: bool = False):
+         collect_level_q: bool = False,
+         want_q: bool = True):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 
     ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
@@ -150,6 +151,13 @@ def tsqr(a: Array,
         instrumentation (≙ the EVALUATE_EACH_SMALL_Q compile-time flag,
         tsqr.cu:25, 1219-1250, which runs multi_orthogonality on every
         level's Q tiles) — returns (q, r, [level Qs]).
+      want_q: False compiles the forward-only (compute-R) program — the
+        backward Q reconstruction (and any leaf Q build it alone consumes)
+        is absent from the fused graph, returning (None, R).  This is both
+        the R-only user path (least squares, Gram-free preconditioning) and
+        the honest MEASURE_QR_TIME vehicle (tsqr.cu:24, 1095-1098,
+        1269-1278): compute-Q time = t(full) - t(R-only) of two *real*
+        fused programs, not separately-jitted phase estimates.
     """
     policy = modes.resolve(mode)
     m, n = a.shape
@@ -166,8 +174,10 @@ def tsqr(a: Array,
 
     if bs == 1:
         q, r = leaf_qr(a[None])
-        q_out = q[0, :m].astype(policy.io_dtype)
         r_out = r[0].astype(policy.io_dtype)
+        # unused Q (want_q=False) is DCE'd by XLA, including the leaf
+        # WY Q-build GEMMs it alone consumes
+        q_out = q[0, :m].astype(policy.io_dtype) if want_q else None
         return (q_out, r_out, [q]) if collect_level_q else (q_out, r_out)
 
     # ---- forward: leaf QR then R-reduction tree (≙ tsqr.cu:1102-1172) ----
@@ -186,6 +196,11 @@ def tsqr(a: Array,
         widths.append(f)
 
     r_out = jnp.triu(r[0])
+
+    if not want_q:
+        r_only = r_out.astype(policy.io_dtype)
+        return (None, r_only, [q0] + qs) if collect_level_q \
+            else (None, r_only)
 
     # ---- backward: Q reconstruction down the tree (≙ tsqr.cu:1205-1259) --
     # c starts as the root Q reshaped into per-child n x n blocks.

@@ -64,6 +64,34 @@ def blockqr_breakdown(m: int, n: int, mode: str = "fp32",
     return result
 
 
+def tsqr_phase_split(m: int, n: int, mode: str = "fp32",
+                     out: IO = sys.stderr, **tsqr_kw) -> dict:
+    """Compute-R vs compute-Q split of the REAL fused TSQR program
+    (≙ MEASURE_QR_TIME, tsqr.cu:24, 1095-1098, 1269-1278).
+
+    Times two real fused programs — the full tree and the forward-only
+    tree (``want_q=False``, whose graph simply lacks the backward pass and
+    the leaf Q-build it alone consumes) — so compute-Q = t(full) −
+    t(R-only) reflects what XLA actually scheduled, unlike the
+    separately-jitted estimates of :func:`blockqr_breakdown`."""
+    policy = modes.resolve(mode)
+    a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
+
+    t_full = timing.time_fn_amortized(
+        lambda x: tsqr_mod.tsqr(x, policy, **tsqr_kw), a, loops=4, reps=3)
+    t_r = timing.time_fn_amortized(
+        lambda x: tsqr_mod.tsqr(x, policy, want_q=False, **tsqr_kw),
+        a, loops=4, reps=3)
+    t_q = max(t_full - t_r, 0.0)
+    result = {"total_s": t_full, "compute_r_s": t_r, "compute_q_s": t_q,
+              "r_pct": 100 * t_r / t_full, "q_pct": 100 * t_q / t_full}
+    print(f"# tsqr phase split m={m} n={n} mode={policy.name}: "
+          f"total {t_full*1e3:.2f} ms, compute-R {t_r*1e3:.2f} ms "
+          f"({result['r_pct']:.0f}%), compute-Q {t_q*1e3:.2f} ms "
+          f"({result['q_pct']:.0f}%)", file=out, flush=True)
+    return result
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/tsqr_trace"):
     """jax.profiler trace context (the TPU-native tracing story)."""

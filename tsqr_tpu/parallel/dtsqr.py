@@ -47,12 +47,46 @@ def _local_policy(policy: modes.Policy) -> modes.Policy:
                         policy.mm, policy.corrected)
 
 
+def _ici_rtree_butterfly(r_loc: Array, axis: str, n_dev: int,
+                         mm) -> tuple[Array, Array]:
+    """Pairwise-exchange (butterfly) R-tree over ICI: log2(D) ``ppermute``
+    rounds of ONE (n, n) payload each, vs the all-gather tree's D·(n, n)
+    in one round.  At pod scale (large D) this keeps both the per-chip
+    payload and the redundant root QR at (2n, n) instead of (D·n, n) —
+    the SURVEY §5 pairwise-tree alternative.  Every chip finishes with
+    the replicated top R and its own (n, n) backward transform c such
+    that Q_shard = Q_local · c."""
+    n = r_loc.shape[1]
+    idx = lax.axis_index(axis)
+    r = r_loc
+    c = jnp.eye(n, dtype=jnp.float32)
+    k = 1
+    while k < n_dev:
+        perm = [(i, i ^ k) for i in range(n_dev)]
+        r_partner = lax.ppermute(r, axis, perm)
+        bit = (idx // k) % 2          # top (0) or bottom (1) of my pair
+        top = jnp.where(bit == 0, r, r_partner)
+        bot = jnp.where(bit == 0, r_partner, r)
+        q_k, r = householder.blocked_householder_qr(
+            jnp.concatenate([top, bot], axis=0), mm=mm)   # (2n, n) QR
+        # both pair members factor the identical stacked matrix, so r (and
+        # ultimately the root R) is bit-identical on every chip
+        c = mm(c, lax.dynamic_slice(q_k, (bit * n, 0), (n, n)))
+        k *= 2
+    return c, r
+
+
 def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
-                n_dev: int, **tsqr_kw) -> tuple[Array, Array]:
+                n_dev: int, tree: str = "allgather",
+                **tsqr_kw) -> tuple[Array, Array]:
     """Per-shard body: local tree + ICI R-reduction + local Q update."""
     n = a_shard.shape[1]
     mm = policy.mm
     q_loc, r_loc = tsqr_mod.tsqr(a_shard, _local_policy(policy), **tsqr_kw)
+    if tree == "butterfly":
+        c, r_top = _ici_rtree_butterfly(r_loc.astype(jnp.float32), axis,
+                                        n_dev, mm)
+        return mm(q_loc.astype(jnp.float32), c), r_top
     # ---- cross-chip R-tree: one all-gather of (n, n) factors ----
     rs = lax.all_gather(r_loc.astype(jnp.float32), axis, axis=0,
                         tiled=True)                      # (D*n, n)
@@ -65,18 +99,26 @@ def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
 
 def dtsqr(a: Array, mesh: Mesh,
           mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
-          axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
+          axis: str = ROWS_AXIS, tree: str = "allgather",
+          **tsqr_kw) -> tuple[Array, Array]:
     """Distributed thin QR of a row-sharded (m, n): Q row-sharded like A,
-    R (n, n) replicated."""
+    R (n, n) replicated.
+
+    tree: "allgather" (default — one all-gather + redundant (D·n, n) root
+    QR; optimal at the mesh sizes a single pod slice gives) or
+    "butterfly" (log2(D) pairwise ppermute rounds, (2n, n) node QRs —
+    bounds per-chip work/payload independent of D for large meshes)."""
     policy = modes.resolve(mode)
     n_dev = mesh.shape[axis]
     m, n = a.shape
     assert m % n_dev == 0, f"m={m} must divide over {n_dev} devices"
     assert m // n_dev >= n, "each shard must stay tall"
+    if tree == "butterfly":
+        assert n_dev & (n_dev - 1) == 0, "butterfly tree needs 2^k devices"
 
     fn = shard_map(
         functools.partial(_tsqr_shard, policy=policy, axis=axis,
-                          n_dev=n_dev, **tsqr_kw),
+                          n_dev=n_dev, tree=tree, **tsqr_kw),
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
