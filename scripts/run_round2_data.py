@@ -29,6 +29,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
+from tsqr_tpu.utils.status import exc_note  # noqa: E402
+
 DATA = ROOT / "data"
 DATA.mkdir(exist_ok=True)
 
@@ -63,8 +65,7 @@ def wide_acc(reorth=False):
                             m, n, mode, reorth=reorth,
                             trials=_trials(m, n), **KW)
                     except Exception as e:
-                        print(f"# error m={m} n={n} mode={mode}: "
-                              f"{type(e).__name__}: {str(e)[:200]}",
+                        print(f"# error m={m} n={n} mode={mode}: " + exc_note(e),
                               file=f, flush=True)
                         continue
                     print(accuracy.format_row(row), file=f, flush=True)
@@ -87,8 +88,7 @@ def wide_speed():
                     try:
                         row = speed.speed_row(m, n, mode, trials=4, **KW)
                     except Exception as e:
-                        print(f"# error m={m} n={n} mode={mode}: "
-                              f"{type(e).__name__}: {str(e)[:200]}",
+                        print(f"# error m={m} n={n} mode={mode}: " + exc_note(e),
                               file=f, flush=True)
                         continue
                     print(speed.format_row(row), file=f, flush=True)
@@ -104,8 +104,7 @@ def wide_speed():
                 try:
                     row = baseline.baseline_speed_row(m, n, trials=2)
                 except Exception as e:
-                    print(f"# error golden m={m} n={n}: "
-                          f"{type(e).__name__}: {str(e)[:200]}",
+                    print(f"# error golden m={m} n={n}: " + exc_note(e),
                           file=f, flush=True)
                     continue
                 print(speed.format_row(row), file=f, flush=True)
@@ -166,8 +165,7 @@ def bigm():
                 import gc
                 gc.collect()
             except Exception as e:
-                print(f"# error m={m} {mode}/{method}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=f,
+                print(f"# error m={m} {mode}/{method}: " + exc_note(e), file=f,
                       flush=True)
 
 

@@ -108,6 +108,23 @@ def cholqr1(a: Array,
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
 
 
+def _fused_n_max(policy: modes.Policy) -> int:
+    """Widest n the streaming kernels fit in VMEM for a given mode.
+
+    The kernels keep (n, n) residents in VMEM — Gram accumulator + Kahan
+    compensation + each R-inverse and its in-kernel bf16 split parts — so
+    the footprint grows as (2 + parts·n_r)·n² and blows the 100 MB scoped
+    budget at n = 2048 for the multi-part corrected modes (measured:
+    Mosaic VMEM-overflow compile failures in the round-2 MFU sweep, while
+    every n = 1024 corrected config and n = 2048 single-part config
+    compiled and ran).  Above this, the XLA variants take over — at such
+    n the pipelines are MXU-pass-bound anyway, so the fused kernels'
+    HBM-traffic advantage has mostly evaporated."""
+    n_parts = {modes.ComputeMode.BF16X6_COR: 3,
+               modes.ComputeMode.BF16X3_COR: 2}.get(policy.mode, 1)
+    return 2048 if n_parts == 1 else 1024
+
+
 def cholqr1_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "bf16",
                   interpret: bool = False) -> tuple[Array, Array]:
@@ -116,12 +133,12 @@ def cholqr1_fused(a: Array,
     IO that is 8mn bytes total for the whole factorization."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64 or a.shape[1] > 2048:
-        # narrow: lane-tile waste; wide: the (n, n) VMEM accumulator of
-        # the streaming kernels exceeds VMEM — XLA variant either way
+    policy = modes.resolve(mode)
+    if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        # narrow: lane-tile waste; wide: VMEM (see _fused_n_max) — XLA
+        # variant either way
         return cholqr1(a, mode)
 
-    policy = modes.resolve(mode)
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):
         a = a.astype(jnp.float32)
@@ -232,11 +249,11 @@ def cholqr2_fused(a: Array,
     at n=16: 5.1 ms fused vs ~0.1 ms XLA for m=2^20)."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64 or a.shape[1] > 2048:
-        return cholqr2(a, mode)  # see cholqr1_fused delegation note
+    policy = modes.resolve(mode)
+    if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
     assert variant in ("safe", "fast", "fastest", "compact")
 
-    policy = modes.resolve(mode)
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):
         a = a.astype(jnp.float32)
@@ -293,11 +310,11 @@ def cholqr3_fused(a: Array,
     in bf16 (kappa <~ 10; see cholqr2_fused)."""
     from tsqr_tpu.ops import pallas_gram
 
-    if a.shape[1] < 64 or a.shape[1] > 2048:
-        return cholqr3(a, mode)  # see cholqr1_fused delegation note
+    policy = modes.resolve(mode)
+    if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        return cholqr3(a, mode)  # see _fused_n_max / cholqr1_fused notes
     assert variant in ("safe", "fast", "fastest")
 
-    policy = modes.resolve(mode)
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):
         a = a.astype(jnp.float32)

@@ -91,9 +91,9 @@ def sweep(ms: Sequence[int], ns: Sequence[int], mode_names: Sequence[str],
                         row = accuracy_row(m, n, mode, reorth,
                                            trials=trials, **qr_kw)
                     except Exception as e:
+                        from tsqr_tpu.utils.status import exc_note
                         print(f"# error m={m} n={n} mode={mode}: "
-                              f"{type(e).__name__}: {e}", file=out,
-                              flush=True)
+                              f"{exc_note(e)}", file=out, flush=True)
                         continue
                     rows.append(row)
                     print(format_row(row), file=out, flush=True)

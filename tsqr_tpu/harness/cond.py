@@ -16,6 +16,7 @@ import sys
 from typing import IO, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tsqr_tpu import modes
@@ -83,8 +84,9 @@ def sweep(m: int, n: int, conds: Sequence[float],
                 try:
                     row = cond_row(m, n, cond, mode, reorth, **kw)
                 except Exception as e:
+                    from tsqr_tpu.utils.status import exc_note
                     print(f"# error cond={cond} mode={mode}: "
-                          f"{type(e).__name__}: {e}", file=out, flush=True)
+                          f"{exc_note(e)}", file=out, flush=True)
                     continue
                 rows.append(row)
                 print(format_row(row), file=out, flush=True)

@@ -101,8 +101,9 @@ def sweep(m: int = 1 << 20,
             try:
                 row = mfu_row(m_eff, n, mode, method, variant)
             except Exception as e:  # per-config containment
+                from tsqr_tpu.utils.status import exc_note
                 print(f"# error n={n} {mode}/{method}/{variant}: "
-                      f"{type(e).__name__}: {e}", file=out, flush=True)
+                      f"{exc_note(e)}", file=out, flush=True)
                 continue
             rows.append(row)
             print(format_row(row), file=out, flush=True)

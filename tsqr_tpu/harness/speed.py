@@ -67,9 +67,9 @@ def sweep(ms: Sequence[int], ns: Sequence[int], mode_names: Sequence[str],
                     try:
                         row = speed_row(m, n, mode, reorth, **kw)
                     except Exception as e:
+                        from tsqr_tpu.utils.status import exc_note
                         print(f"# error m={m} n={n} mode={mode}: "
-                              f"{type(e).__name__}: {e}", file=out,
-                              flush=True)
+                              f"{exc_note(e)}", file=out, flush=True)
                         continue
                     rows.append(row)
                     print(format_row(row), file=out, flush=True)

@@ -17,6 +17,13 @@ def _git(*args: str) -> str:
         return "unknown"
 
 
+def exc_note(e: BaseException, limit: int = 200) -> str:
+    """One-line '# error ...' payload for CSV sweeps: harness error rows
+    must stay single lines (multi-line compiler backtraces previously
+    leaked into data/mfu.csv and broke the CSV parse)."""
+    return f"{type(e).__name__}: " + " ".join(str(e).split())[:limit]
+
+
 def print_banner(file=sys.stderr) -> None:
     import jax
     print(f"# tsqr-tpu  branch={_git('rev-parse', '--abbrev-ref', 'HEAD')} "
