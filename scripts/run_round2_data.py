@@ -61,9 +61,13 @@ def wide_acc(reorth=False):
                     if n > m:
                         continue
                     try:
+                        # device metrics: the tunnel moves ~26 MB/s, so
+                        # host-fp64 metrics cost minutes per config at
+                        # wide n; the on-device Kahan metrics are
+                        # calibrated against host fp64 (validation.py)
                         row = accuracy.accuracy_row(
                             m, n, mode, reorth=reorth,
-                            trials=_trials(m, n), **KW)
+                            trials=_trials(m, n), metrics="device", **KW)
                     except Exception as e:
                         print(f"# error m={m} n={n} mode={mode}: " + exc_note(e),
                               file=f, flush=True)
