@@ -106,6 +106,20 @@ def test_fused_corrected_interpret():
     assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
 
 
+def test_fused_turbo_interpret():
+    # "turbo" = bf16 Gram #1 + recompute pipeline + Delta second factor:
+    # the 4-HBM-pass corrected pipeline; same accuracy contract as
+    # "fastest" on well-conditioned input
+    from tsqr_tpu.core.cholqr import cholqr2_fused
+    a = _rand(2048, 64, seed=9)
+    q, r = cholqr2_fused(jnp.asarray(a), "bf16x6_cor", interpret=True,
+                         variant="turbo")
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-6
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-6
+    assert np.allclose(np.triu(np.asarray(r)), np.asarray(r))
+
+
 @pytest.mark.parametrize("method", ["cholqr2_fused", "cholqr3_fused"])
 @pytest.mark.parametrize("variant", ["fast", "fastest"])
 def test_fused_variants_interpret(method, variant):

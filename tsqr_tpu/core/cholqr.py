@@ -243,6 +243,13 @@ def cholqr2_fused(a: Array,
       footprint is A + Q only (vs A + Q1 + Q): the enabler for
       M=2^23 x N=128 f32 on a 16 GB chip.  ~10 % slower than "fast" at
       2^22 (measured) — use only when capacity-bound.
+    * "turbo" (kappa <~ 10): "fastest" + "compact" combined — bf16
+      Gram #1 AND the recompute pipeline.  HBM drops 5 passes -> 4 (the
+      binding resource at n <= 128: a corrected MXU pass costs ~0.7 ms at
+      m=2^22 vs ~3.9 ms per HBM pass at the chip's measured ~540 GB/s)
+      for +6 MXU passes, moving the n=128 roofline from ~19.4 ms to
+      ~15.5 ms at 2^22.  Same kappa contract and fp32-grade RESIDUAL
+      story as "fastest"; also inherits "compact"'s A+Q-only footprint.
 
     Narrow panels delegate to the XLA variant: below ~half a lane tile the
     streaming kernels waste most of each (chunk, 128) lane tile (measured
@@ -252,23 +259,23 @@ def cholqr2_fused(a: Array,
     policy = modes.resolve(mode)
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
         return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
-    assert variant in ("safe", "fast", "fastest", "compact")
+    assert variant in ("safe", "fast", "fastest", "compact", "turbo")
 
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):
         a = a.astype(jnp.float32)
 
-    g1_mode = "bf16" if variant == "fastest" else mname
+    g1_mode = "bf16" if variant in ("fastest", "turbo") else mname
     g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
     r1 = _chol_r(g)
 
-    if policy.mode in _CHEAP_DOT or variant == "compact":
+    if policy.mode in _CHEAP_DOT or variant in ("compact", "turbo"):
         # recompute pipeline: 4 HBM passes, no Q1 materialized
         dmode = _DELTA_MODE.get(policy.mode)
         p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mname,),
                                        gram_mode=mname, interpret=interpret)
         r2 = _chol_r(p2 + p2.T)
-        if variant == "compact" and dmode is not None:
+        if variant in ("compact", "turbo") and dmode is not None:
             q = pallas_gram.stream_pallas(a, (_rinv(r1), _delta(r2)),
                                           (mname, dmode),
                                           residual=(False, True),
