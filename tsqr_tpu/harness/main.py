@@ -6,6 +6,8 @@ Usage:
   python -m tsqr_tpu.harness.main accuracy [--quick]
   python -m tsqr_tpu.harness.main speed [--quick]
   python -m tsqr_tpu.harness.main cond [--quick]
+  python -m tsqr_tpu.harness.main mfu [--quick]
+  python -m tsqr_tpu.harness.main profile [--quick]
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ QUICK_NS = [16, 128]
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=["accuracy", "speed", "cond", "eval_q",
-                                     "baseline"])
+                                     "baseline", "mfu", "profile"])
     p.add_argument("--quick", action="store_true")
     p.add_argument("--modes", nargs="*", default=MODES)
     p.add_argument("--trials", type=int, default=None)
@@ -53,6 +55,17 @@ def main(argv=None):
                                 trials=args.trials or (4 if args.quick
                                                        else 16))
         baseline.speed_sweep(ms, ns, out=sys.stderr)
+    elif args.which == "mfu":
+        from tsqr_tpu.harness import mfu
+        mfu.sweep(m=(1 << 16 if args.quick else 1 << 20),
+                  ns=((128,) if args.quick else (128, 256, 512, 1024, 2048)))
+    elif args.which == "profile":
+        # ≙ MEASURE_QR_TIME + PROFILE_BREAKDOWN, printed for the default
+        # headline-class shape
+        from tsqr_tpu.harness import profile
+        m = 1 << (14 if args.quick else 20)
+        profile.tsqr_phase_split(m, 128, "fp32", out=sys.stdout)
+        profile.blockqr_breakdown(m, 512, "fp32", out=sys.stdout)
     else:
         from tsqr_tpu.harness import cond
         conds = ([2.0 ** k for k in (2, 8)] if args.quick
