@@ -223,10 +223,134 @@ def exponent():
                   flush=True)
 
 
+def perf_m():
+    """Time/TFLOPS vs m at n=128, m=2^10..2^23 — the reference performance
+    plot's m axis (mk_performance_graph.py:40-49, m up to 2^26 there;
+    2^23 is this chip's fp32 A+Q HBM limit for the tree path).  Rows for
+    the Householder-tree BlockQR (reference semantics), the fused CholQR
+    production path, and the jnp.linalg.qr golden."""
+    import jax
+    import jax.numpy as jnp
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.harness import baseline, flops as flops_mod, speed
+    from tsqr_tpu.utils import timing
+
+    n = 128
+    ms = [1 << k for k in range(10, 24)]
+    with open(DATA / "perf_m.csv", "w") as f:
+        print(speed.CSV_HEADER, file=f, flush=True)
+        for m in ms:
+            for mode, label_kw in (("fp32", {}), ("bf16x6_cor", {})):
+                try:
+                    row = speed.speed_row(m, n, mode, trials=4, **KW)
+                except Exception as e:
+                    print(f"# error tree m={m} {mode}: " + exc_note(e),
+                          file=f, flush=True)
+                    continue
+                print(speed.format_row(row), file=f, flush=True)
+                print(f"perf_m tree m=2^{m.bit_length()-1} {mode}: "
+                      f"{row['elapsed_time']*1e3:.2f} ms "
+                      f"{row['tflops']:.2f} TF", file=sys.stderr, flush=True)
+            # fused CholQR production path (method flops ≠ useful; the CSV
+            # tflops column stays the reference's useful-flop model)
+            try:
+                a = jax.random.uniform(jax.random.PRNGKey(0), (m, n),
+                                       jnp.float32, -1, 1)
+                t = timing.time_fn_amortized(
+                    lambda x: cholqr.fastqr(x, "bf16x6_cor",
+                                            method="cholqr2_fused",
+                                            variant="turbo"),
+                    a, loops=6, reps=3)
+                fl = flops_mod.qr_flops(m, n)
+                print(f"{m},{n},float32,bf16x6_cor[cholqr2_fused/turbo],0,"
+                      f"{t:.6e},{fl/t/1e12:.4f},0", file=f, flush=True)
+                print(f"perf_m fused m=2^{m.bit_length()-1}: {t*1e3:.2f} ms "
+                      f"{fl/t/1e12:.2f} TF", file=sys.stderr, flush=True)
+                del a
+            except Exception as e:
+                print(f"# error fused m={m}: " + exc_note(e), file=f,
+                      flush=True)
+            try:
+                row = baseline.baseline_speed_row(m, n, trials=2)
+                print(speed.format_row(row), file=f, flush=True)
+                print(f"perf_m golden m=2^{m.bit_length()-1}: "
+                      f"{row['elapsed_time']*1e3:.2f} ms", file=sys.stderr,
+                      flush=True)
+            except Exception as e:
+                print(f"# error golden m={m}: " + exc_note(e), file=f,
+                      flush=True)
+            import gc
+            gc.collect()
+
+
+def extras():
+    """Round-2 odds and ends: the turbo-headline timing and the qr_auto
+    fallback cost on a matrix that actually triggers the fallback
+    (round-1 review weak items 1 and 6)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tsqr_tpu.core import auto, cholqr
+    from tsqr_tpu.harness import flops as flops_mod
+    from tsqr_tpu.utils import latms, timing, validation
+
+    m, n = 1 << 22, 128
+    with open(DATA / "extras.csv", "w") as f:
+        print("item,m,n,elapsed_time,tflops,orthogonality,note", file=f,
+              flush=True)
+        # turbo vs fastest at the headline shape
+        a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32,
+                               -1, 1)
+        for variant in ("fastest", "turbo"):
+            try:
+                q, _ = jax.jit(lambda x, v=variant: cholqr.fastqr(
+                    x, "bf16x6_cor", method="cholqr2_fused", variant=v))(a)
+                orth = float(validation.orthogonality_accurate(q))
+                del q
+                t = timing.time_fn_amortized(
+                    lambda x, v=variant: cholqr.fastqr(
+                        x, "bf16x6_cor", method="cholqr2_fused", variant=v),
+                    a, loops=8, reps=3)
+                fl = flops_mod.qr_flops(m, n)
+                print(f"headline_{variant},{m},{n},{t:.6e},"
+                      f"{fl/t/1e12:.3f},{orth:.3e},", file=f, flush=True)
+                print(f"extras {variant}: {t*1e3:.2f} ms "
+                      f"{fl/t/1e12:.2f} TF orth={orth:.2e}",
+                      file=sys.stderr, flush=True)
+            except Exception as e:
+                print(f"# error {variant}: " + exc_note(e), file=f,
+                      flush=True)
+        del a
+        import gc
+        gc.collect()
+        # qr_auto fallback cost: kappa ~ 3e7 defeats shifted CholeskyQR3
+        try:
+            ma, na = 1 << 20, 128
+            a_bad, kappa = latms.rand_matrix_with_cond(
+                jax.random.PRNGKey(7), ma, na, 3.0e7)
+            t0 = time.perf_counter()
+            q, r, used = auto.qr_auto(a_bad, "fp32", leaf_rows=2048)
+            orth = float(validation.orthogonality_accurate(q))
+            t_wall = time.perf_counter() - t0
+            fl = flops_mod.qr_flops(ma, na)
+            print(f"auto_fallback[{used}],{ma},{na},{t_wall:.6e},"
+                  f"{fl/t_wall/1e12:.3f},{orth:.3e},kappa={kappa:.2e}",
+                  file=f, flush=True)
+            print(f"extras auto fallback: used={used} wall={t_wall:.2f} s "
+                  f"orth={orth:.2e} kappa={kappa:.2e}", file=sys.stderr,
+                  flush=True)
+        except Exception as e:
+            print("# error auto_fallback: " + exc_note(e), file=f,
+                  flush=True)
+
+
 SECTIONS = {"wide_acc": lambda: wide_acc(False),
             "wide_acc_reorth": lambda: wide_acc(True),
             "wide_speed": wide_speed, "bigm": bigm, "mfu": mfu,
-            "cond": cond, "exponent": exponent}
+            "cond": cond, "exponent": exponent, "perf_m": perf_m,
+            "extras": extras}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else None
