@@ -20,13 +20,14 @@ from plot_common import label, load, style
 def main(csv_path: str, out: str = "accuracy.pdf") -> None:
     df = load(csv_path)
     fig, axes = plt.subplots(2, 1, figsize=(7, 8), sharex=True)
-    for (mode, reorth), g in df.groupby(["compute_mode",
-                                         "reorthogonalization"]):
+    # one line per n when the CSV covers the wide grid (multiple n per m)
+    multi_n = df["n"].nunique() > 1
+    for (mode, reorth, n), g in df.groupby(["compute_mode",
+                                            "reorthogonalization", "n"]):
         g = g.sort_values("m")
-        axes[0].plot(g["m"], g["residual"], label=label(mode, reorth),
-                     **style(mode))
-        axes[1].plot(g["m"], g["orthogonality"], label=label(mode, reorth),
-                     **style(mode))
+        lbl = label(mode, reorth) + (f" n={n}" if multi_n else "")
+        axes[0].plot(g["m"], g["residual"], label=lbl, **style(mode))
+        axes[1].plot(g["m"], g["orthogonality"], label=lbl, **style(mode))
     for ax, name in zip(axes, ["relative residual ||A-QR||_F/||A||_F",
                                "orthogonality ||QtQ-I||_F/sqrt(n)"]):
         ax.set_xscale("log", base=2)

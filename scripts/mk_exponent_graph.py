@@ -19,6 +19,10 @@ from plot_common import load
 
 def main(csv_path: str, out: str = "exponents.pdf") -> None:
     df = load(csv_path)
+    if "name" not in df.columns:
+        # per-tree-level schema (variant,level,exponent,count) from the
+        # EVALUATE_EXPONENT_DISTRIBUTION-analogue study (tsqr.cu:26)
+        df["name"] = df["variant"] + " L" + df["level"].astype(str)
     fig, ax = plt.subplots(figsize=(8, 5))
     for name, g in df.groupby("name"):
         g = g.sort_values("exponent")
