@@ -325,6 +325,32 @@ def extras():
         del a
         import gc
         gc.collect()
+        # Householder tree with the sublane kernel vs vmapped XLA leaves
+        # (round-1 review item 3: robust path within ~25 ms at 2^20 x 128)
+        try:
+            from tsqr_tpu.core import tsqr as tsqr_mod
+            mt, nt = 1 << 20, 128
+            at = jax.random.uniform(jax.random.PRNGKey(1), (mt, nt),
+                                    jnp.float32, -1, 1)
+            for impl in ("jnp", "pallas_sb"):
+                t = timing.time_fn_amortized(
+                    lambda x, i=impl: tsqr_mod.tsqr(x, "fp32", impl=i),
+                    at, loops=6, reps=3)
+                fl = flops_mod.qr_flops(mt, nt)
+                print(f"tree_{impl},{mt},{nt},{t:.6e},{fl/t/1e12:.3f},,",
+                      file=f, flush=True)
+                print(f"extras tree[{impl}]: {t*1e3:.2f} ms",
+                      file=sys.stderr, flush=True)
+            from tsqr_tpu.harness import profile
+            res = profile.tsqr_phase_split(mt, nt, "fp32", out=sys.stderr,
+                                           impl="pallas_sb")
+            print(f"tree_phase_split_r_pct,{mt},{nt},"
+                  f"{res['compute_r_s']:.6e},,,q_pct={res['q_pct']:.1f}",
+                  file=f, flush=True)
+            del at
+            gc.collect()
+        except Exception as e:
+            print("# error tree timing: " + exc_note(e), file=f, flush=True)
         # qr_auto fallback cost: kappa ~ 3e7 defeats shifted CholeskyQR3
         try:
             ma, na = 1 << 20, 128
