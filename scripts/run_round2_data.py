@@ -303,24 +303,29 @@ def extras():
         # turbo vs fastest at the headline shape
         a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32,
                                -1, 1)
-        for variant in ("fastest", "turbo"):
+        # cholqr1_fused/x6 = 3 HBM passes + 10 MXU passes: orthogonality
+        # floor ~ kappa^2 * eps_f32, valid for this workload's kappa ~ 2
+        for method, variant in (("cholqr2_fused", "fastest"),
+                                ("cholqr2_fused", "turbo"),
+                                ("cholqr1_fused", "safe")):
+            tag = variant if method == "cholqr2_fused" else "cholqr1x6"
             try:
-                q, _ = jax.jit(lambda x, v=variant: cholqr.fastqr(
-                    x, "bf16x6_cor", method="cholqr2_fused", variant=v))(a)
+                q, _ = jax.jit(lambda x, me=method, v=variant: cholqr.fastqr(
+                    x, "bf16x6_cor", method=me, variant=v))(a)
                 orth = float(validation.orthogonality_accurate(q))
                 del q
                 t = timing.time_fn_amortized(
-                    lambda x, v=variant: cholqr.fastqr(
-                        x, "bf16x6_cor", method="cholqr2_fused", variant=v),
+                    lambda x, me=method, v=variant: cholqr.fastqr(
+                        x, "bf16x6_cor", method=me, variant=v),
                     a, loops=8, reps=3)
                 fl = flops_mod.qr_flops(m, n)
-                print(f"headline_{variant},{m},{n},{t:.6e},"
+                print(f"headline_{tag},{m},{n},{t:.6e},"
                       f"{fl/t/1e12:.3f},{orth:.3e},", file=f, flush=True)
-                print(f"extras {variant}: {t*1e3:.2f} ms "
+                print(f"extras {tag}: {t*1e3:.2f} ms "
                       f"{fl/t/1e12:.2f} TF orth={orth:.2e}",
                       file=sys.stderr, flush=True)
             except Exception as e:
-                print(f"# error {variant}: " + exc_note(e), file=f,
+                print(f"# error {tag}: " + exc_note(e), file=f,
                       flush=True)
         del a
         import gc
