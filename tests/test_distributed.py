@@ -87,6 +87,19 @@ def test_dtsqr_butterfly_matches_allgather_R(mesh8):
     np.testing.assert_allclose(rb * s[:, None], rg, rtol=0, atol=1e-4)
 
 
+def test_dqr_butterfly_tree(mesh8):
+    # regression: tree="butterfly" forwarded through dqr must actually
+    # reduce across chips (a zero n_dev once skipped every butterfly
+    # round, silently returning the unreduced local factorization)
+    a = _rand(1024, 64, seed=9)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    q, r = dtsqr.dqr(ax, mesh8, "fp32", panel_width=16, leaf_rows=128,
+                     tree="butterfly")
+    q, r = np.asarray(q), np.asarray(r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-5
+
+
 @pytest.mark.parametrize("method", ["cholqr2", "cholqr3"])
 def test_dcholqr(mesh8, method):
     m, n = 2048, 32

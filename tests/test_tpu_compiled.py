@@ -61,12 +61,14 @@ def test_qpass_pallas_compiled(mode):
     assert np.max(np.abs(np.asarray(g) - g64)) < 1e-4 * np.abs(g64).max()
 
 
-def test_stream_chain_recompute_pipeline_compiled():
-    # the sloppy-first-iteration pipeline end-to-end on the chip
+@pytest.mark.parametrize("variant", ["fastest", "turbo"])
+def test_stream_chain_reduced_pass_pipelines_compiled(variant):
+    # the sloppy-first-Gram pipelines end-to-end on the chip ("fastest"
+    # = bf16 Gram #1 + Delta; "turbo" additionally recomputes Q1 in VMEM)
     from tsqr_tpu.core import cholqr
     from tsqr_tpu.utils import validation
     a = _rand(1 << 18, 128, seed=4)
-    q, r = cholqr.cholqr2_fused(a, "bf16x6_cor", first_iter="bf16")
+    q, r = cholqr.cholqr2_fused(a, "bf16x6_cor", variant=variant)
     orth = validation.orthogonality_accurate(q)
     assert np.isfinite(orth) and orth < 1e-6
     assert validation.residual(

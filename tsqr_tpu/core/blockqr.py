@@ -56,19 +56,25 @@ UNROLL_MAX_BLOCKS = 8       # beyond this, the fori_loop path wins
 
 def _panel_step(q: Array, r: Array, a_b: Array, c0, mm: Callable,
                 tsqr_fn: Callable, reorth: bool,
-                first: bool = False) -> tuple[Array, Array]:
+                first: bool = False,
+                reduce: Callable = lambda x: x) -> tuple[Array, Array]:
     """One BlockQR panel: project against Q, factor, write back at c0.
 
     Works for both loop strategies: ``q`` columns at >= c0 are zero, so
     the full-width projections equal the reference's growing-slice GEMMs
     (blockqr.cu:92-116); ``first=True`` skips the provably-zero ones.
+
+    ``reduce`` wraps the two projection contractions (Q^T A_b, Q^T Q_b):
+    identity locally; ``lax.psum`` over the row axis in the distributed
+    BlockQR (parallel/dtsqr.py), where those contractions run over the
+    sharded m dimension.
     """
     if first:
         r12 = None
         a_p = a_b
     else:
         # R12 = Q^T A_b ; A' = A_b - Q R12 (blockqr.cu:92-116)
-        r12 = mm(q.T, a_b)
+        r12 = reduce(mm(q.T, a_b))
         a_p = a_b - mm(q, r12)
     if not reorth:
         q_b, r22 = tsqr_fn(a_p)
@@ -81,7 +87,7 @@ def _panel_step(q: Array, r: Array, a_b: Array, c0, mm: Callable,
     else:
         # CGS2 (blockqr.cu:230-332)
         q_b, r2 = tsqr_fn(a_p)
-        s2 = mm(q.T, q_b)
+        s2 = reduce(mm(q.T, q_b))
         q_b = q_b - mm(q, s2)
         q_b, w_fac = tsqr_fn(q_b)
         r12 = r12 + mm(s2, r2)

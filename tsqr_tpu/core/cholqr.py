@@ -257,9 +257,10 @@ def cholqr2_fused(a: Array,
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
+    if variant not in ("safe", "fast", "fastest", "compact", "turbo"):
+        raise ValueError(f"cholqr2_fused: unknown variant {variant!r}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
         return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
-    assert variant in ("safe", "fast", "fastest", "compact", "turbo")
 
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):
@@ -318,9 +319,12 @@ def cholqr3_fused(a: Array,
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
+    if variant not in ("safe", "fast", "fastest"):
+        raise ValueError(
+            f"cholqr3_fused: unknown variant {variant!r} (the "
+            f"compact/turbo recompute pipelines are cholqr2_fused-only)")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
         return cholqr3(a, mode)  # see _fused_n_max / cholqr1_fused notes
-    assert variant in ("safe", "fast", "fastest")
 
     mname = policy.mode.value
     if a.dtype not in (jnp.bfloat16, jnp.float32):

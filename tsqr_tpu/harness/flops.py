@@ -51,14 +51,16 @@ _DELTA = {"bf16x6_cor": 3, "fp32": 3}  # Delta-trick final-factor passes
 def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
     """MXU passes of the fused CholeskyQR pipelines (core/cholqr.py)."""
     g, d = GRAM_PASSES[mode], DOT_PASSES[mode]
-    g1 = 1 if variant == "fastest" else g
+    g1 = 1 if variant in ("fastest", "turbo") else g
     if method == "cholqr1_fused":
         return g + d
     if method == "cholqr2_fused":
         if mode in _CHEAP:
             return g + (d + g) + 2 * d          # recompute pipeline
-        if variant == "compact":
-            return g + (d + g) + d + _DELTA.get(mode, d)
+        if variant in ("compact", "turbo"):
+            # recompute pipeline: G1 + (recompute-Q1 dot + G2) +
+            # (recompute-Q1 dot + Delta final factor)
+            return g1 + (d + g) + d + _DELTA.get(mode, d)
         last = _DELTA.get(mode, d) if variant != "safe" else d
         return g1 + (d + g) + last              # write-Q1 pipeline
     if method == "cholqr3_fused":
@@ -76,7 +78,7 @@ def fused_hbm_bytes(m: int, n: int, mode: str, method: str,
     if method == "cholqr1_fused":
         return io * mn * 3                      # rA (gram), rA + wQ
     if method == "cholqr2_fused":
-        if mode in _CHEAP or variant == "compact":
+        if mode in _CHEAP or variant in ("compact", "turbo"):
             return io * mn * 4                  # rA, rA, rA + wQ
         return io * mn * 5                      # rA, rA + wQ1, rQ1 + wQ
     if method == "cholqr3_fused":

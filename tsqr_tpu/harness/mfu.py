@@ -47,6 +47,16 @@ HBM_PEAK_GBPS = 819.0
 
 def mfu_row(m: int, n: int, mode: str, method: str, variant: str = "safe",
             seed: int = 0, loops: int = 6) -> dict:
+    from tsqr_tpu import modes
+    from tsqr_tpu.core.cholqr import _fused_n_max
+
+    if method.endswith("_fused") and not (
+            64 <= n <= _fused_n_max(modes.resolve(mode))):
+        # outside this range the *_fused methods delegate to the XLA
+        # variants — the fused pass/byte models below would describe a
+        # pipeline that never ran
+        raise ValueError(f"{method} delegates to XLA at n={n} for {mode}; "
+                         f"no fused MFU row")
     io_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
     a = jax.random.uniform(jax.random.PRNGKey(seed), (m, n), jnp.float32,
                            -1, 1).astype(io_dtype)
@@ -89,6 +99,8 @@ def sweep(m: int = 1 << 20,
               ("bf16x6_cor", "cholqr2_fused", "safe"),
               ("bf16x6_cor", "cholqr2_fused", "fast"),
               ("bf16x6_cor", "cholqr2_fused", "fastest"),
+              ("bf16x6_cor", "cholqr2_fused", "turbo"),
+              ("bf16x6_cor", "cholqr1_fused", "safe"),
               ("bf16x6_cor", "cholqr3_fused", "safe"),
           ),
           out: IO = sys.stdout) -> list[dict]:

@@ -84,6 +84,11 @@ def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     mm = policy.mm
     q_loc, r_loc = tsqr_mod.tsqr(a_shard, _local_policy(policy), **tsqr_kw)
     if tree == "butterfly":
+        # n_dev drives the Python-level round count, so it must be the
+        # real mesh size (a wrong value silently skips reduction rounds)
+        assert n_dev >= 1 and n_dev & (n_dev - 1) == 0, \
+            f"butterfly tree needs a true power-of-two device count, " \
+            f"got n_dev={n_dev}"
         c, r_top = _ici_rtree_butterfly(r_loc.astype(jnp.float32), axis,
                                         n_dev, mm)
         return mm(q_loc.astype(jnp.float32), c), r_top
@@ -128,39 +133,8 @@ def dtsqr(a: Array, mesh: Mesh,
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
 
 
-def _dpanel_step(q, r, a_b, c0, mm, tsqr_local, axis: str, reorth: bool,
-                 first: bool = False):
-    """One distributed BlockQR panel (≙ core/blockqr._panel_step with the
-    projection contractions psum-reduced over the sharded m axis).
-    ``q`` columns at >= c0 are zero, so full-width projections are exact."""
-    if first:
-        r12 = None
-        a_p = a_b
-    else:
-        r12 = lax.psum(mm(q.T, a_b), axis)
-        a_p = a_b - mm(q, r12)
-    if not reorth:
-        q_b, r22 = tsqr_local(a_p)
-    elif first:
-        q_b, r2 = tsqr_local(a_p)
-        q_b, w_fac = tsqr_local(q_b)
-        r22 = mm(w_fac, r2)
-    else:
-        q_b, r2 = tsqr_local(a_p)
-        s2 = lax.psum(mm(q.T, q_b), axis)
-        q_b = q_b - mm(q, s2)
-        q_b, w_fac = tsqr_local(q_b)
-        r12 = r12 + mm(s2, r2)
-        r22 = mm(w_fac, r2)
-    if r12 is not None:
-        r = lax.dynamic_update_slice(r, r12.astype(r.dtype), (0, c0))
-    q = lax.dynamic_update_slice(q, q_b.astype(q.dtype), (0, c0))
-    r = lax.dynamic_update_slice(r, r22.astype(r.dtype), (c0, c0))
-    return q, r
-
-
 def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
-                    panel_width: int, reorth: bool,
+                    n_dev: int, panel_width: int, reorth: bool,
                     **tsqr_kw) -> tuple[Array, Array]:
     """Per-shard BlockQR: trailing GEMMs need a psum over the row axis
     (Q^T A_b is a contraction over the sharded m dimension); everything
@@ -170,12 +144,23 @@ def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     as a lax.fori_loop over equal-width panels (body traced once, O(1)
     compile time in n — see core/blockqr.py module docstring); a ragged
     final panel gets one statically traced epilogue step."""
+    from tsqr_tpu.core.blockqr import _panel_step
+
     mm = policy.mm
     m_loc, n = a_shard.shape
     nb = min(panel_width, n)
+    psum = functools.partial(lax.psum, axis_name=axis)
 
     def _tsqr_local(x):
-        return _tsqr_shard(x, policy, axis, 0, **tsqr_kw)
+        return _tsqr_shard(x, policy, axis, n_dev, **tsqr_kw)
+
+    def _dpanel_step(qc, rc, a_b, c0, _mm, _tsqr, _axis, _reorth,
+                     first=False):
+        # the local panel step with the projection contractions
+        # psum-reduced over the sharded m axis (single source of truth
+        # for the CGS2 algebra: core/blockqr._panel_step)
+        return _panel_step(qc, rc, a_b, c0, _mm, _tsqr, _reorth,
+                           first=first, reduce=psum)
 
     q = jnp.zeros((m_loc, n), jnp.float32)
     r = jnp.zeros((n, n), jnp.float32)
@@ -270,10 +255,13 @@ def dqr(a: Array, mesh: Mesh,
     if n > m:
         raise ValueError(f"BlockQR requires m >= n, got {a.shape}")
     assert m % n_dev == 0 and m // n_dev >= min(panel_width, n)
+    if tsqr_kw.get("tree") == "butterfly":
+        assert n_dev & (n_dev - 1) == 0, "butterfly tree needs 2^k devices"
 
     fn = shard_map(
         functools.partial(_dblockqr_shard, policy=policy, axis=axis,
-                          panel_width=panel_width, reorth=reorth, **tsqr_kw),
+                          n_dev=n_dev, panel_width=panel_width,
+                          reorth=reorth, **tsqr_kw),
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
