@@ -49,16 +49,40 @@ def _trials(m, n):
     return 4
 
 
+# Largest grid config that fits the 15.75 GB chip: A + Q + R + tree
+# working ~ 4*(2mn + 2n^2 + mn) bytes; m*n = 2^30 (m=n=2^15 fp32) OOMed
+# AND poisoned the backend — every subsequent allocation in the process
+# failed RESOURCE_EXHAUSTED (measured, round-2 campaign).  2^29 ran fine.
+GRID_MAX_ELEMS = 1 << 29
+GOLDEN_MAX_ELEMS = 1 << 28  # jnp.linalg.qr's working set is larger
+
+
+def _bailout(e, state):
+    """Two consecutive RESOURCE_EXHAUSTED errors => the process is
+    poisoned (see above); abort the section so the next one starts in a
+    fresh backend."""
+    if "RESOURCE_EXHAUSTED" in str(e):
+        state["re"] = state.get("re", 0) + 1
+        if state["re"] >= 2:
+            print("bailing out: backend poisoned by repeated "
+                  "RESOURCE_EXHAUSTED", file=sys.stderr, flush=True)
+            return True
+    else:
+        state["re"] = 0
+    return False
+
+
 def wide_acc(reorth=False):
     from tsqr_tpu.harness import accuracy
 
     name = "accuracy_wide_reorth.csv" if reorth else "accuracy_wide.csv"
+    state = {}
     with open(DATA / name, "w") as f:
         print(accuracy.CSV_HEADER, file=f, flush=True)
         for mode in MODES:
             for m in WIDE_MS:
                 for n in WIDE_NS:
-                    if n > m:
+                    if n > m or m * n > GRID_MAX_ELEMS:
                         continue
                     try:
                         # device metrics: the tunnel moves ~26 MB/s, so
@@ -71,7 +95,10 @@ def wide_acc(reorth=False):
                     except Exception as e:
                         print(f"# error m={m} n={n} mode={mode}: " + exc_note(e),
                               file=f, flush=True)
+                        if _bailout(e, state):
+                            return
                         continue
+                    state["re"] = 0
                     print(accuracy.format_row(row), file=f, flush=True)
                     print(f"acc m={m} n={n} {mode} reorth={reorth}: "
                           f"res={row['residual']:.2e} "
@@ -82,19 +109,23 @@ def wide_acc(reorth=False):
 def wide_speed():
     from tsqr_tpu.harness import baseline, speed
 
+    state = {}
     with open(DATA / "speed_wide.csv", "w") as f:
         print(speed.CSV_HEADER, file=f, flush=True)
         for mode in MODES:
             for m in WIDE_MS:
                 for n in WIDE_NS:
-                    if n > m:
+                    if n > m or m * n > GRID_MAX_ELEMS:
                         continue
                     try:
                         row = speed.speed_row(m, n, mode, trials=4, **KW)
                     except Exception as e:
                         print(f"# error m={m} n={n} mode={mode}: " + exc_note(e),
                               file=f, flush=True)
+                        if _bailout(e, state):
+                            return
                         continue
+                    state["re"] = 0
                     print(speed.format_row(row), file=f, flush=True)
                     print(f"speed m={m} n={n} {mode}: "
                           f"{row['elapsed_time']*1e3:.1f} ms "
@@ -103,14 +134,17 @@ def wide_speed():
         # golden rows (≙ cusolver_speed, test.cu:497-593)
         for m in WIDE_MS:
             for n in WIDE_NS:
-                if n > m:
+                if n > m or m * n > GOLDEN_MAX_ELEMS:
                     continue
                 try:
                     row = baseline.baseline_speed_row(m, n, trials=2)
                 except Exception as e:
                     print(f"# error golden m={m} n={n}: " + exc_note(e),
                           file=f, flush=True)
+                    if _bailout(e, state):
+                        return
                     continue
+                state["re"] = 0
                 print(speed.format_row(row), file=f, flush=True)
                 print(f"golden m={m} n={n}: "
                       f"{row['elapsed_time']*1e3:.1f} ms", file=sys.stderr,
