@@ -58,3 +58,29 @@ def test_auto_falls_back_on_extreme_condition():
     assert used in ("cholqr3", "blockqr_tsqr")
     assert validation.residual(np.asarray(a), np.asarray(q),
                                np.asarray(r)) < 1e-4
+
+
+def test_auto_fused_fast_branch():
+    # well-conditioned input: the one-program driver must pass the gate
+    # and return the fast-path result (fp32-grade orthogonality)
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.uniform(-1, 1, (2048, 32)).astype(np.float32))
+    q, r = auto.qr_auto_fused(a, "fp32", fast_method="cholqr2",
+                              leaf_rows=256)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.allclose(np.triu(r), r)
+    assert validation.orthogonality(q) < 1e-6
+    assert validation.residual(np.asarray(a), q, r) < 1e-6
+
+
+def test_auto_fused_robust_branch():
+    # kappa ~ 3e7: the in-program gate must trip and the robust branch
+    # must produce orthogonal output in the SAME dispatch
+    key = jax.random.PRNGKey(6)
+    a, _ = latms.rand_matrix_with_cond(key, 2048, 32, 3e7)
+    q, r = auto.qr_auto_fused(a, "fp32", fast_method="cholqr2",
+                              leaf_rows=256)
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(np.asarray(a), q,
+                               np.asarray(r, np.float64)) < 1e-4

@@ -21,9 +21,10 @@ from tsqr_tpu.modes import ComputeMode, Policy, resolve
 from tsqr_tpu.core.tsqr import tsqr
 from tsqr_tpu.core.blockqr import qr
 from tsqr_tpu.core.cholqr import fastqr
+from tsqr_tpu.core.auto import qr_auto, qr_auto_fused
 from tsqr_tpu.ops.panel_qr import panel_qr
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["ComputeMode", "Policy", "resolve", "tsqr", "qr", "fastqr",
-           "panel_qr", "__version__"]
+           "qr_auto", "qr_auto_fused", "panel_qr", "__version__"]

@@ -10,6 +10,8 @@ case) never pay the reflector path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,3 +79,49 @@ def qr_auto(a: Array,
     qr_kw.setdefault("reorth", True)
     q, r = blockqr.qr(a, mode, **qr_kw)
     return q, r, "blockqr_tsqr"
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "fast_method",
+                                             "fast_variant", "impl",
+                                             "leaf_rows", "fanin", "reorth"))
+def qr_auto_fused(a: Array,
+                  mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                  fast_method: str = "cholqr3_fused",
+                  fast_variant: str = "safe",
+                  impl: str = "jnp",
+                  leaf_rows: int = 2048,
+                  fanin: int = 8,
+                  reorth: bool = True) -> tuple[Array, Array]:
+    """Self-validating QR as ONE fused XLA program: zero host round-trips.
+
+    :func:`qr_auto` dispatches twice (fast path, host fetch of the
+    orthogonality scalar, maybe robust path).  Here the fast CholeskyQR,
+    the Kahan-accurate on-device orthogonality gate
+    (validation.orthogonality_wide_device — measurement error independent
+    of m), and the Householder-tree fallback live inside one jit; XLA's
+    ``lax.cond`` executes the expensive robust branch only when the gate
+    fails at runtime.  NaNs from a failed Cholesky also trip the gate
+    (orth is NaN -> the comparison is False -> robust branch).
+
+    The robust branch costs compile time (both paths are traced) but
+    runs only on inputs that actually defeated the fast method.
+    """
+    from tsqr_tpu.utils import validation
+
+    policy = modes.resolve(mode)
+    tol = _TOL.get(policy.mode, 1e-4)
+
+    q_f, r_f = cholqr.fastqr(a, policy.mode.value, method=fast_method,
+                             variant=fast_variant)
+    orth = validation.orthogonality_wide_device(q_f.astype(jnp.float32))
+    ok = orth < tol  # False for NaN: falls back
+
+    def robust(_):
+        q, r = blockqr.qr(a, policy, reorth=reorth, impl=impl,
+                          leaf_rows=leaf_rows, fanin=fanin)
+        return q.astype(q_f.dtype), r.astype(r_f.dtype)
+
+    def fast(_):
+        return q_f, jnp.triu(r_f)
+
+    return jax.lax.cond(ok, fast, robust, None)
