@@ -17,6 +17,24 @@ def _git(*args: str) -> str:
         return "unknown"
 
 
+def print_matrix(a, name: str = "", file=sys.stdout,
+                 max_rows: int = 32, max_cols: int = 16) -> None:
+    """Labeled matrix dump for ad-hoc debugging (≙ mtk::utils::print_matrix,
+    utils.hpp:11-107: host/device matrix printers used by the reference's
+    DEBUG* flags and visual unit tests)."""
+    import numpy as np
+
+    a = np.asarray(a)
+    if name:
+        print(f"# {name} {a.shape} {a.dtype}", file=file)
+    r, c = a.shape if a.ndim == 2 else (a.shape[0], 1)
+    view = a.reshape(r, c)[:max_rows, :max_cols]
+    for row in view:
+        print(" ".join(f"{v:+.4e}" for v in row), file=file)
+    if r > max_rows or c > max_cols:
+        print(f"# ... truncated to {max_rows}x{max_cols}", file=file)
+
+
 def exc_note(e: BaseException, limit: int = 200) -> str:
     """One-line '# error ...' payload for CSV sweeps: harness error rows
     must stay single lines (multi-line compiler backtraces previously
