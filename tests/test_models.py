@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tsqr_tpu.models import lanczos, lstsq, rsvd
+from tsqr_tpu.models import lanczos, lstsq, rsvd, svd
 
 
 def test_rsvd_low_rank_recovery():
@@ -39,6 +39,35 @@ def test_block_lanczos_eigenvalues():
     t = qb.T @ np.asarray(amat, np.float64) @ qb
     ritz = np.linalg.eigvalsh(t)
     assert abs(ritz.max() - 100) / 100 < 0.02
+
+
+def test_tsqr_svd_matches_numpy():
+    rng = np.random.default_rng(5)
+    a = rng.uniform(-1, 1, (1024, 24)).astype(np.float32)
+    u, s, vt = svd.tsqr_svd(jnp.asarray(a), "fp32", method="cholqr2")
+    sg = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), sg, rtol=1e-5)
+    rec = (np.asarray(u, np.float64) * np.asarray(s, np.float64)
+           ) @ np.asarray(vt, np.float64)
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-6
+    un = np.asarray(u, np.float64)
+    assert np.linalg.norm(un.T @ un - np.eye(24)) < 1e-5
+
+
+def test_tsqr_batched_vmap():
+    # batched factorization through vmap (the 'batched TSQR' BASELINE
+    # config): one program, B independent panels
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.uniform(-1, 1, (4, 512, 16)).astype(np.float32))
+    from tsqr_tpu.core import cholqr
+    q, r = jax.vmap(lambda x: cholqr.fastqr(x, "fp32", method="cholqr2"))(a)
+    assert q.shape == (4, 512, 16) and r.shape == (4, 16, 16)
+    for i in range(4):
+        qi = np.asarray(q[i], np.float64)
+        assert np.linalg.norm(qi.T @ qi - np.eye(16)) < 1e-5
+        assert np.linalg.norm(
+            np.asarray(a[i]) - qi @ np.asarray(r[i], np.float64)
+        ) / np.linalg.norm(np.asarray(a[i])) < 1e-6
 
 
 def test_lstsq_matches_numpy():
