@@ -76,12 +76,17 @@ def wide_acc(reorth=False):
     from tsqr_tpu.harness import accuracy
 
     name = "accuracy_wide_reorth.csv" if reorth else "accuracy_wide.csv"
+    # reorth rows: representative subset (the cond sweep measures reorth
+    # exhaustively at the reference's own reorth config; here the point
+    # is the CGS2 effect across the wide grid, not a second full grid)
+    modes_ = ["fp32", "bf16x6_cor"] if reorth else MODES
+    ns_ = [1 << 10, 1 << 12, 1 << 14] if reorth else WIDE_NS
     state = {}
     with open(DATA / name, "w") as f:
         print(accuracy.CSV_HEADER, file=f, flush=True)
-        for mode in MODES:
+        for mode in modes_:
             for m in WIDE_MS:
-                for n in WIDE_NS:
+                for n in ns_:
                     if n > m or m * n > GRID_MAX_ELEMS:
                         continue
                     try:
