@@ -369,6 +369,22 @@ def extras():
         del a
         import gc
         gc.collect()
+        # wide-n production path: BlockQR with fused-CholQR panels vs the
+        # reference-semantics Householder-tree panels
+        try:
+            from tsqr_tpu.harness import speed as speed_mod
+            mw, nw = 1 << 17, 4096
+            for pm, pw in (("tsqr", 128), ("cholqr2_fused", 1024)):
+                row = speed_mod.speed_row(mw, nw, "bf16x6_cor", trials=3,
+                                          panel_width=pw, panel_method=pm)
+                print(f"blockqr_wide[{pm}/pw{pw}],{mw},{nw},"
+                      f"{row['elapsed_time']:.6e},{row['tflops']:.3f},,",
+                      file=f, flush=True)
+                print(f"extras blockqr_wide[{pm}]: "
+                      f"{row['elapsed_time']*1e3:.1f} ms "
+                      f"{row['tflops']:.2f} TF", file=sys.stderr, flush=True)
+        except Exception as e:
+            print("# error blockqr_wide: " + exc_note(e), file=f, flush=True)
         # Householder tree with the sublane kernel vs vmapped XLA leaves
         # (round-1 review item 3: robust path within ~25 ms at 2^20 x 128)
         try:
