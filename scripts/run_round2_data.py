@@ -280,6 +280,8 @@ def perf_m():
         print(speed.CSV_HEADER, file=f, flush=True)
         for m in ms:
             for mode, label_kw in (("fp32", {}), ("bf16x6_cor", {})):
+                if m > 1 << 22:
+                    continue  # tree working set (A+Q+q0) OOMs at 2^23 f32
                 try:
                     row = speed.speed_row(m, n, mode, trials=4, **KW)
                 except Exception as e:
@@ -309,15 +311,16 @@ def perf_m():
             except Exception as e:
                 print(f"# error fused m={m}: " + exc_note(e), file=f,
                       flush=True)
-            try:
-                row = baseline.baseline_speed_row(m, n, trials=2)
-                print(speed.format_row(row), file=f, flush=True)
-                print(f"perf_m golden m=2^{m.bit_length()-1}: "
-                      f"{row['elapsed_time']*1e3:.2f} ms", file=sys.stderr,
-                      flush=True)
-            except Exception as e:
-                print(f"# error golden m={m}: " + exc_note(e), file=f,
-                      flush=True)
+            if m <= 1 << 22:  # jnp.linalg.qr working set ~3x A: OOM above
+                try:
+                    row = baseline.baseline_speed_row(m, n, trials=2)
+                    print(speed.format_row(row), file=f, flush=True)
+                    print(f"perf_m golden m=2^{m.bit_length()-1}: "
+                          f"{row['elapsed_time']*1e3:.2f} ms",
+                          file=sys.stderr, flush=True)
+                except Exception as e:
+                    print(f"# error golden m={m}: " + exc_note(e), file=f,
+                          flush=True)
             import gc
             gc.collect()
 
