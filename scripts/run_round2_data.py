@@ -372,6 +372,25 @@ def extras():
         del a
         import gc
         gc.collect()
+        # streaming-chunk sweep: does a larger (chunk, n) window move the
+        # corrected Gram closer to the chip's bandwidth at n=128?
+        try:
+            from tsqr_tpu.ops import pallas_gram
+            a_c = jax.random.uniform(jax.random.PRNGKey(2), (1 << 22, 128),
+                                     jnp.float32, -1, 1)
+            for chunk in (512, 1024, 2048, 4096, 8192):
+                t = timing.time_fn_amortized(
+                    lambda x, c=chunk: pallas_gram.gram_pallas(
+                        x, "bf16x6_cor", chunk=c), a_c, loops=8, reps=3)
+                bw = (1 << 22) * 128 * 4 / t / 1e9
+                print(f"gram_chunk{chunk},{1 << 22},128,{t:.6e},,,"
+                      f"{bw:.1f}GB/s", file=f, flush=True)
+                print(f"extras gram chunk={chunk}: {t*1e3:.2f} ms "
+                      f"{bw:.0f} GB/s", file=sys.stderr, flush=True)
+            del a_c
+            gc.collect()
+        except Exception as e:
+            print("# error gram_chunk: " + exc_note(e), file=f, flush=True)
         # wide-n production path: BlockQR with fused-CholQR panels vs the
         # reference-semantics Householder-tree panels
         try:
