@@ -16,7 +16,8 @@ MODE_STYLES = {
 
 
 def load(csv_path: str) -> pd.DataFrame:
-    return pd.read_csv(csv_path)
+    # harness CSVs carry "# error ..." containment rows — skip them
+    return pd.read_csv(csv_path, comment="#")
 
 
 def style(mode: str) -> dict:
