@@ -61,3 +61,29 @@ def test_rand_matrix_with_cond():
     assert measured >= 0.9e4
     true_cond = np.linalg.cond(np.asarray(a, np.float64))
     assert abs(true_cond - measured) / true_cond < 1e-2
+
+
+def test_wide_device_orthogonality_calibration():
+    # the wide-grid campaign trusts orthogonality_wide_device /
+    # residual_device_chunked: both must agree with host fp64 on a good
+    # AND a deliberately degraded factorization
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-1, 1, (8192, 96)).astype(np.float32)
+    q, r = np.linalg.qr(a.astype(np.float64))
+    q32 = q.astype(np.float32)
+
+    host_good = validation.orthogonality(q32)
+    dev_good = float(validation.orthogonality_wide_device(jnp.asarray(q32)))
+    # both measure the f32-cast error (~1e-7); same order required
+    assert abs(dev_good - host_good) < 5e-8 + 0.5 * host_good
+
+    q_bad = (q + 1e-3 * rng.standard_normal(q.shape)).astype(np.float32)
+    host_bad = validation.orthogonality(q_bad)
+    dev_bad = float(validation.orthogonality_wide_device(jnp.asarray(q_bad)))
+    assert abs(dev_bad - host_bad) / host_bad < 0.02
+
+    host_res = validation.residual(a, q32, r.astype(np.float32))
+    dev_res = float(validation.residual_device_chunked(
+        jnp.asarray(a), jnp.asarray(q32), jnp.asarray(r.astype(np.float32)),
+        row_chunk=2048))
+    assert abs(dev_res - host_res) < 1e-7 + 0.5 * host_res
