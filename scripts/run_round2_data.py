@@ -212,6 +212,98 @@ def bigm():
                       flush=True)
 
 
+def bigm2():
+    """Capacity shapes unlocked by the in-place (aliased) pipelines:
+    Q overwrites A's donated buffer, so peak HBM is ~A alone.
+
+    * m=2^24 x 128 f32 IO, bf16x6_cor turbo — the BASELINE.json target
+      shape at fp32-grade orthogonality (A+Q = 17 GB would not fit; A
+      alone = 8.6 GB does).
+    * m=2^25 x 128 bf16 — one power of two past round-2's bigm.csv,
+      approaching the reference's m=2^26 axis (mk_performance_graph.py).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.harness import flops as flops_mod
+    from tsqr_tpu.utils import validation
+
+    n = 128
+    SEED = 1234
+
+    def part_key(i):
+        return jax.random.fold_in(jax.random.PRNGKey(SEED), i)
+
+    def gen_inplace(m, dtype, n_parts):
+        """Build A in its final buffer via in-place DUS on a fori_loop
+        carry — never holds a second m x n transient."""
+        part = m // n_parts
+
+        @jax.jit
+        def g():
+            def body(i, buf):
+                x = jax.random.uniform(part_key(i), (part, n),
+                                       jnp.float32, -1, 1)
+                return jax.lax.dynamic_update_slice(
+                    buf, x.astype(dtype), (i * part, 0))
+            return jax.lax.fori_loop(0, n_parts, body,
+                                     jnp.zeros((m, n), dtype))
+        return g()
+
+    def time_inplace(fn, q0, loops=4, reps=3):
+        """Each donated call consumes the previous call's Q (same shape/
+        dtype as A): buffers recycle, dispatches pipeline."""
+        q, best = q0, float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(loops):
+                q, _ = fn(q)
+            float(jnp.sum(q[:1, :1]))  # force the queued chain
+            best = min(best, (time.perf_counter() - t0) / loops)
+        return best
+
+    configs = [
+        (1 << 24, "bf16x6_cor", "cholqr2_fused", "turbo", jnp.float32, 8),
+        (1 << 25, "bf16", "cholqr1_fused", "safe", jnp.bfloat16, 16),
+    ]
+    with open(DATA / "bigm2.csv", "w") as f:
+        print("m,n,compute_mode,method,elapsed_time,tflops,orthogonality,"
+              "residual", file=f, flush=True)
+        for m, mode, method, variant, dtype, n_parts in configs:
+            try:
+                a = gen_inplace(m, dtype, n_parts)
+                fn = lambda x, mo=mode, me=method, v=variant: \
+                    cholqr.fastqr_inplace(x, mo, method=me, variant=v)
+                q, r = fn(a)
+                del a  # donated — already invalid
+                orth = float(validation.orthogonality_accurate(q))
+                part = m // n_parts
+
+                def gen_chunk(i, dt=dtype):
+                    x = jax.random.uniform(part_key(i), (part, n),
+                                           jnp.float32, -1, 1)
+                    return x.astype(dt)
+
+                res = float(validation.residual_regen_chunked(
+                    gen_chunk, q, r, part))
+                t = time_inplace(fn, q)
+                fl = flops_mod.qr_flops(m, n)
+                row = (f"{m},{n},{mode},{method}[{variant}/inplace],"
+                       f"{t:.6e},{fl/t/1e12:.3f},{orth:.3e},{res:.3e}")
+                print(row, file=f, flush=True)
+                print("bigm2: " + row, file=sys.stderr, flush=True)
+                del q, r
+                import gc
+                gc.collect()
+            except Exception as e:
+                print(f"# error m={m} {mode}/{method}: " + exc_note(e),
+                      file=f, flush=True)
+                print("bigm2 error: " + exc_note(e), file=sys.stderr,
+                      flush=True)
+
+
 def mfu():
     from tsqr_tpu.harness import mfu as mfu_mod
 
@@ -456,7 +548,8 @@ def extras():
 
 SECTIONS = {"wide_acc": lambda: wide_acc(False),
             "wide_acc_reorth": lambda: wide_acc(True),
-            "wide_speed": wide_speed, "bigm": bigm, "mfu": mfu,
+            "wide_speed": wide_speed, "bigm": bigm, "bigm2": bigm2,
+            "mfu": mfu,
             "cond": cond, "exponent": exponent, "perf_m": perf_m,
             "extras": extras}
 

@@ -127,13 +127,22 @@ def _fused_n_max(policy: modes.Policy) -> int:
 
 def cholqr1_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "bf16",
-                  interpret: bool = False) -> tuple[Array, Array]:
+                  interpret: bool = False,
+                  inplace: bool = False) -> tuple[Array, Array]:
     """Single-pass CholeskyQR on the streaming kernels: the HBM-minimal
     QR — one read of A (Gram), one read + one write (Q pass).  With bf16
-    IO that is 8mn bytes total for the whole factorization."""
+    IO that is 8mn bytes total for the whole factorization.
+
+    inplace=True writes Q over A's buffer (requires io_dtype == a.dtype;
+    use via ``fastqr_inplace`` so the input is donated): peak HBM is A
+    alone, which admits M=2^25 x N=128 bf16 on a 16 GB chip."""
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
+    if inplace and jnp.dtype(policy.io_dtype) != a.dtype:
+        raise ValueError(
+            f"inplace requires io_dtype == a.dtype, got {policy.io_dtype} "
+            f"vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
         # narrow: lane-tile waste; wide: VMEM (see _fused_n_max) — XLA
         # variant either way
@@ -146,7 +155,8 @@ def cholqr1_fused(a: Array,
     r = _chol_r(g)
     q = pallas_gram.stream_pallas(a, (_rinv(r),), (mname,), write_q=True,
                                   interpret=interpret,
-                                  out_dtype=policy.io_dtype)
+                                  out_dtype=policy.io_dtype,
+                                  alias_q=inplace)
     return q, jnp.triu(r).astype(policy.io_dtype)
 
 
@@ -221,7 +231,8 @@ def _delta(r: Array) -> Array:
 def cholqr2_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   interpret: bool = False,
-                  variant: str = "safe") -> tuple[Array, Array]:
+                  variant: str = "safe",
+                  inplace: bool = False) -> tuple[Array, Array]:
     """CholeskyQR2 on the streaming Pallas kernels (ops/pallas_gram.py).
 
     variant selects how much of CholeskyQR2's self-correction slack is
@@ -253,12 +264,26 @@ def cholqr2_fused(a: Array,
 
     Narrow panels delegate to the XLA variant: below ~half a lane tile the
     streaming kernels waste most of each (chunk, 128) lane tile (measured
-    at n=16: 5.1 ms fused vs ~0.1 ms XLA for m=2^20)."""
+    at n=16: 5.1 ms fused vs ~0.1 ms XLA for m=2^20).
+
+    inplace=True (compact/turbo only — the pipelines whose final pass
+    streams A itself) writes Q over A's buffer: peak HBM falls from A+Q
+    to A alone, admitting the BASELINE target M=2^24 x N=128 at f32 IO on
+    a 16 GB chip.  Requires io_dtype == a.dtype; enter via
+    ``fastqr_inplace`` so the input buffer is donated."""
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
     if variant not in ("safe", "fast", "fastest", "compact", "turbo"):
         raise ValueError(f"cholqr2_fused: unknown variant {variant!r}")
+    if inplace:
+        if variant not in ("compact", "turbo"):
+            raise ValueError("inplace requires the recompute pipeline "
+                             "(variant 'compact' or 'turbo')")
+        if jnp.dtype(policy.io_dtype) != a.dtype:
+            raise ValueError(
+                f"inplace requires io_dtype == a.dtype, got "
+                f"{policy.io_dtype} vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
         return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
 
@@ -281,12 +306,14 @@ def cholqr2_fused(a: Array,
                                           (mname, dmode),
                                           residual=(False, True),
                                           write_q=True, interpret=interpret,
-                                          out_dtype=policy.io_dtype)
+                                          out_dtype=policy.io_dtype,
+                                          alias_q=inplace)
         else:
             q = pallas_gram.stream_pallas(a, (_rinv(r1), _rinv(r2)),
                                           (mname, mname), write_q=True,
                                           interpret=interpret,
-                                          out_dtype=policy.io_dtype)
+                                          out_dtype=policy.io_dtype,
+                                          alias_q=inplace)
     else:
         q1, g2 = pallas_gram.qpass_pallas(a, _rinv(r1), mname,
                                           interpret=interpret,
@@ -389,3 +416,27 @@ def fastqr(a: Array,
     if variant != "safe" and method in ("cholqr2_fused", "cholqr3_fused"):
         return _METHODS[method](a, mode, variant=variant)
     return _METHODS[method](a, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "method", "variant"),
+                   donate_argnums=(0,))
+def fastqr_inplace(a: Array,
+                   mode: modes.ComputeMode | str | modes.Policy = "bf16",
+                   method: str = "cholqr1_fused",
+                   variant: str = "safe") -> tuple[Array, Array]:
+    """Capacity-mode QR: A's buffer is donated and Q is written over it.
+
+    Peak HBM is ~A alone (vs A+Q), which admits shapes where A itself
+    fills half the chip: M=2^24 x N=128 f32 (cholqr2_fused compact/turbo,
+    corrected modes) and M=2^25 x N=128 bf16 (cholqr1_fused).  The caller
+    LOSES ``a`` — jax invalidates the donated buffer.  Requires
+    io_dtype == a.dtype so the aliased kernel output can reuse the buffer
+    (≙ the reference's caller-provided working memory discipline,
+    tsqr.hpp:108-119, taken to its TPU conclusion)."""
+    if method == "cholqr1_fused":
+        return cholqr1_fused(a, mode, inplace=True)
+    if method == "cholqr2_fused":
+        if variant not in ("compact", "turbo"):
+            variant = "compact"
+        return cholqr2_fused(a, mode, variant=variant, inplace=True)
+    raise ValueError(f"fastqr_inplace: unsupported method {method!r}")

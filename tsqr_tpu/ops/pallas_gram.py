@@ -137,7 +137,7 @@ def _resolve_mode(mode) -> modes.ComputeMode:
 
 @functools.partial(jax.jit, static_argnames=(
     "dot_modes", "write_q", "gram_mode", "chunk", "interpret", "out_dtype",
-    "residual"))
+    "residual", "alias_q"))
 def stream_pallas(a: Array,
                   rinvs: tuple[Array, ...] = (),
                   dot_modes: tuple[str, ...] = (),
@@ -146,7 +146,8 @@ def stream_pallas(a: Array,
                   chunk: int = DEFAULT_CHUNK,
                   interpret: bool = False,
                   out_dtype=None,
-                  residual: tuple[bool, ...] = ()):
+                  residual: tuple[bool, ...] = (),
+                  alias_q: bool = False):
     """One streaming pass over A: chained dots + optional fused half-Gram.
 
     Per (chunk, n) VMEM block: x = A_chunk; then x = x @ rinvs[i] at
@@ -162,9 +163,21 @@ def stream_pallas(a: Array,
 
     Returns [q] if write_q, + [p_half] if gram_mode — as a tuple in that
     order (single element unpacked).
+
+    alias_q=True writes Q into A's buffer (``input_output_aliases``): each
+    grid step reads its (chunk, n) block before overwriting it, so the
+    result is unchanged, but peak HBM drops from A+Q to A alone — the
+    enabler for capacity shapes like M=2^24 x N=128 f32 on a 16 GB chip.
+    Requires write_q and out_dtype == a.dtype; pair with a donated input
+    (``fastqr_inplace``) so XLA reuses the caller's buffer end-to-end.
     """
     assert len(rinvs) == len(dot_modes)
     assert write_q or gram_mode is not None
+    if alias_q:
+        assert write_q, "alias_q requires write_q"
+        assert jnp.dtype(out_dtype if out_dtype is not None
+                         else a.dtype) == a.dtype, (
+            "alias_q requires out_dtype == a.dtype")
     if not residual:
         residual = (False,) * len(rinvs)
     assert len(residual) == len(rinvs)
@@ -236,6 +249,7 @@ def stream_pallas(a: Array,
     out = pl.pallas_call(
         kernel,
         grid=(m_pad // chunk,),
+        input_output_aliases={0: 0} if alias_q else {},
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=(tuple(out_shapes) if len(out_shapes) > 1

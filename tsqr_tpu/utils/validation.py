@@ -212,6 +212,37 @@ def residual_device_chunked(a: Array, q: Array, r: Array,
     return run(a, q, r)
 
 
+def residual_regen_chunked(gen_chunk, q: Array, r: Array,
+                           row_chunk: int) -> Array:
+    """||A - QR||_F / ||A||_F where A's row-chunks are REGENERATED.
+
+    For the in-place capacity pipelines (core/cholqr.fastqr_inplace) A's
+    buffer no longer exists when metrics run — but test matrices are
+    deterministic functions of PRNG keys, so ``gen_chunk(i) -> (rc, n)``
+    re-derives chunk i bitwise instead of holding a second m x n buffer.
+    Python loop over chunks (gen_chunk is host-side); accumulators stay
+    on device.
+    """
+    m, n = q.shape
+    assert m % row_chunk == 0, "row_chunk must divide m"
+    r = r.astype(jnp.float32)
+
+    @jax.jit
+    def step(ac, qc, r, d2, a2):
+        ac = ac.astype(jnp.float32)
+        d = ac - jnp.matmul(qc.astype(jnp.float32), r,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        return d2 + jnp.sum(d * d), a2 + jnp.sum(ac * ac)
+
+    d2 = jnp.zeros((), jnp.float32)
+    a2 = jnp.zeros((), jnp.float32)
+    for i in range(m // row_chunk):
+        qc = jax.lax.dynamic_slice(q, (i * row_chunk, 0), (row_chunk, n))
+        d2, a2 = step(gen_chunk(i), qc, r, d2, a2)
+    return jnp.sqrt(d2) / jnp.sqrt(a2)
+
+
 def exponent_distribution(x, name: str = "") -> dict[int, int]:
     """Histogram of binary exponents of the (finite, nonzero) elements
     (≙ exponent_distribution, validation.cu:18-40, 214-237 — used for the
