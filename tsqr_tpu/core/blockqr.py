@@ -131,12 +131,16 @@ def qr(a: Array,
         # ≙ error_invalid_matrix_size (blockqr.cu:407-409)
         raise ValueError(f"BlockQR requires m >= n, got {a.shape}")
     a = a.astype(jnp.float32)
-    mm = policy.mm
+    # Trailing/projection/fix-up GEMMs use the mode's *trailing* math —
+    # plain fp32 for corrected modes, exactly the reference's cuBLAS
+    # DEFAULT_MATH switch (blockqr.cu:61-68); the explicit split mm stays
+    # the PANEL math (inside _tsqr), ≙ the tcqr kernels.
+    mm = policy.trailing_mm
     nb = panel_width or min(n, DEFAULT_PANEL_WIDTH)
     nb = min(nb, n)
 
     fp32_policy = modes.Policy(policy.mode, jnp.float32, policy.work_dtype,
-                               mm, policy.corrected)
+                               policy.mm, policy.corrected)
 
     if panel_method == "tsqr":
         def _tsqr(x):

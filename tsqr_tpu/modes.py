@@ -311,8 +311,8 @@ class Policy:
       work_dtype: dtype the intermediate Q/R tree factors are stored in
         (≙ get_working_q_type, tsqr.hpp:33-39 — fp32_tc_nocor stores
         working Q in half; BF16_NOCOR stores it in bf16).
-      mm: matmul implementation used for every reflector application,
-        tree product and trailing update.
+      mm: matmul implementation used for every reflector application and
+        tree product (the panel/tree kernels' math, ≙ tcqr32x16.cu).
       corrected: True for split-corrected modes (drives harness labels).
     """
 
@@ -325,6 +325,23 @@ class Policy:
     @property
     def name(self) -> str:
         return self.mode.value
+
+    @property
+    def trailing_mm(self) -> Callable[[Array, Array], Array]:
+        """Matmul for the BlockQR-level (trailing/projection/fix-up) GEMMs.
+
+        ≙ the reference's cuBLAS math-mode switch (blockqr.cu:61-68): only
+        fp16_tc_nocor / fp32_tc_nocor run trailing GEMMs in TENSOR_OP
+        math; every other mode — including ALL corrected modes — uses
+        CUBLAS_DEFAULT_MATH, i.e. plain fp32 GEMMs.  The TPU equivalent
+        of an fp32 cuBLAS GEMM is the 6-pass HIGHEST matmul, which XLA
+        lowers with on-the-fly operand splitting — no HBM-materialized
+        split copies, unlike the explicit corrected ``mm`` (measured >4x
+        faster on wide trailing updates at m=n=2^14).
+        """
+        if self.mode in (ComputeMode.BF16, ComputeMode.BF16_NOCOR):
+            return self.mm
+        return mm_fp32
 
 
 _POLICIES = {

@@ -146,7 +146,7 @@ def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     final panel gets one statically traced epilogue step."""
     from tsqr_tpu.core.blockqr import _panel_step
 
-    mm = policy.mm
+    mm = policy.trailing_mm  # ≙ cuBLAS DEFAULT_MATH for cor modes, see modes.py
     m_loc, n = a_shard.shape
     nb = min(panel_width, n)
     psum = functools.partial(lax.psum, axis_name=axis)
