@@ -156,6 +156,42 @@ def wide_speed():
                       flush=True)
 
 
+def wide_speed_prod():
+    """The production-path wide grid: BlockQR with fused-CholQR panels
+    (panel_width=1024) in the corrected mode — the configuration a TPU
+    user would actually deploy at wide n, vs the reference-semantics
+    tree-panel rows of wide_speed.  compute_mode is labeled with the
+    panel method so the rows coexist in one CSV."""
+    from tsqr_tpu.harness import speed
+
+    state = {}
+    with open(DATA / "speed_wide_prod.csv", "w") as f:
+        print(speed.CSV_HEADER, file=f, flush=True)
+        for mode in ("bf16x6_cor", "bf16x3_cor"):
+            for m in WIDE_MS:
+                for n in WIDE_NS:
+                    if n > m or m * n > GRID_MAX_ELEMS:
+                        continue
+                    try:
+                        row = speed.speed_row(m, n, mode, trials=4,
+                                              panel_width=1024,
+                                              panel_method="cholqr2_fused",
+                                              leaf_rows=2048)
+                    except Exception as e:
+                        print(f"# error m={m} n={n} mode={mode}: "
+                              + exc_note(e), file=f, flush=True)
+                        if _bailout(e, state):
+                            return
+                        continue
+                    state["re"] = 0
+                    row["compute_mode"] += "[cholqr2_fused/pw1024]"
+                    print(speed.format_row(row), file=f, flush=True)
+                    print(f"prod m={m} n={n} {mode}: "
+                          f"{row['elapsed_time']*1e3:.1f} ms "
+                          f"{row['tflops']:.2f} TF", file=sys.stderr,
+                          flush=True)
+
+
 def bigm():
     """The m >= 2^23 rows (BASELINE target shape M=2^24 x N=128)."""
     import jax
@@ -548,8 +584,8 @@ def extras():
 
 SECTIONS = {"wide_acc": lambda: wide_acc(False),
             "wide_acc_reorth": lambda: wide_acc(True),
-            "wide_speed": wide_speed, "bigm": bigm, "bigm2": bigm2,
-            "mfu": mfu,
+            "wide_speed": wide_speed, "wide_speed_prod": wide_speed_prod,
+            "bigm": bigm, "bigm2": bigm2, "mfu": mfu,
             "cond": cond, "exponent": exponent, "perf_m": perf_m,
             "extras": extras}
 
