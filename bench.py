@@ -33,14 +33,16 @@ def run(m: int, n: int) -> dict:
     mode = "bf16x6_cor"
     a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
 
-    # CholeskyQR2 is the right method for this well-conditioned workload
-    # (kappa of uniform random ~ O(1); the orthogonality gate below would
-    # zero the metric if the method ever missed fp32 grade), and the
-    # "fastest" variant's kappa <~ 10 contract holds here (see
-    # core/cholqr.cholqr2_fused).  cholqr3 [safe] is the robust
-    # production default for unknown conditioning.
+    # Single-pass corrected CholeskyQR is the right method for this
+    # well-conditioned workload: its orthogonality floor is
+    # kappa^2 * eps_f32 — for uniform random A (kappa ~ 2) that is
+    # fp32-grade, and MEASURED 1.48e-7 at 2^22 x 128 (data/extras.csv
+    # headline_cholqr1x6) — at 3 HBM passes instead of cholqr2_fused's 4
+    # (24.1 vs 13.0 TFLOP/s).  The orthogonality gate below zeroes the
+    # metric if the method ever misses fp32 grade; cholqr3 [safe] is the
+    # robust production default for unknown conditioning.
     if jax.devices()[0].platform == "tpu":
-        method, variant = "cholqr2_fused", "fastest"
+        method, variant = "cholqr1_fused", "safe"
     else:
         method, variant = "cholqr2", "safe"
 

@@ -51,7 +51,12 @@ from tsqr_tpu import modes
 
 Array = jax.Array
 
-DEFAULT_CHUNK = 1024
+# Streaming chunk rows per grid step.  Measured on the v5e chip
+# (data/extras.csv gram_chunk sweep, m=2^22 n=128 bf16x6_cor):
+# 512 -> 376 GB/s, 1024 -> 441, 2048 -> 492, 4096 -> 571, 8192 -> 504.
+# 4096 is the sweet spot; the per-call VMEM cap in stream_pallas shrinks
+# it automatically at wide n (chunk <= 2^20 / n).
+DEFAULT_CHUNK = 4096
 
 
 def _mode_parts(x: Array, mode: modes.ComputeMode):
@@ -184,8 +189,9 @@ def stream_pallas(a: Array,
     m, n = a.shape
     # keep the scoped-VMEM footprint (chunk block + splits + (n, n)
     # accumulators) under the limit at wide n (n=2048 with chunk=1024
-    # measured 102.9M vs the 100M budget)
-    chunk = min(chunk, max(512, (1 << 20) // n))
+    # measured 102.9M vs the 100M budget), and don't pad small m up to a
+    # full default chunk (lane-padding waste bounded at ~512 rows)
+    chunk = min(chunk, max(512, (1 << 20) // n), -(-m // 512) * 512)
     a = _pad_chunks(a, chunk)
     m_pad = a.shape[0]
     dot_ms = tuple(_resolve_mode(d) for d in dot_modes)
