@@ -36,9 +36,9 @@ def run(m: int, n: int) -> dict:
     # Single-pass corrected CholeskyQR is the right method for this
     # well-conditioned workload: its orthogonality floor is
     # kappa^2 * eps_f32 — for uniform random A (kappa ~ 2) that is
-    # fp32-grade, and MEASURED 1.48e-7 at 2^22 x 128 (data/extras.csv
+    # fp32-grade, and MEASURED 1.49e-7 at 2^22 x 128 (data/extras.csv
     # headline_cholqr1x6) — at 3 HBM passes instead of cholqr2_fused's 4
-    # (24.1 vs 13.0 TFLOP/s).  The orthogonality gate below zeroes the
+    # (25.4 vs 13.6 TFLOP/s).  The orthogonality gate below zeroes the
     # metric if the method ever misses fp32 grade; cholqr3 [safe] is the
     # robust production default for unknown conditioning.
     if jax.devices()[0].platform == "tpu":

@@ -304,6 +304,7 @@ def bigm2():
         (1 << 24, "bf16x6_cor", "cholqr2_fused", "turbo", jnp.float32, 8),
         (1 << 25, "bf16", "cholqr1_fused", "safe", jnp.bfloat16, 16),
     ]
+    state = {}
     with open(DATA / "bigm2.csv", "w") as f:
         print("m,n,compute_mode,method,elapsed_time,tflops,orthogonality,"
               "residual", file=f, flush=True)
@@ -338,6 +339,10 @@ def bigm2():
                       file=f, flush=True)
                 print("bigm2 error: " + exc_note(e), file=sys.stderr,
                       flush=True)
+                if _bailout(e, state):
+                    return
+                continue
+            state["re"] = 0
 
 
 def mfu():

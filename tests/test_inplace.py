@@ -45,6 +45,25 @@ def test_inplace_dtype_mismatch_raises():
         cholqr.cholqr1_fused(a, "bf16", interpret=True, inplace=True)
 
 
+def test_inplace_out_of_fused_range_raises():
+    # silent fallback to the XLA variant would break the peak-HBM ~A
+    # contract exactly at capacity shapes
+    a = _rand(512, 32, jnp.bfloat16)
+    with pytest.raises(ValueError, match="fused-kernel range"):
+        cholqr.cholqr1_fused(a, "bf16", interpret=True, inplace=True)
+    a2 = _rand(4096, 2048)
+    with pytest.raises(ValueError, match="fused-kernel range"):
+        cholqr.cholqr2_fused(a2, "bf16x6_cor", interpret=True,
+                             variant="compact", inplace=True)
+
+
+def test_fastqr_inplace_rejects_incompatible_variant():
+    a = _rand(512, 64)
+    with pytest.raises(ValueError, match="recompute pipeline"):
+        cholqr.cholqr2_fused(a, "bf16x6_cor", interpret=True,
+                             variant="fastest", inplace=True)
+
+
 def test_inplace_requires_recompute_pipeline():
     a = _rand(512, 64)
     with pytest.raises(ValueError, match="recompute pipeline"):

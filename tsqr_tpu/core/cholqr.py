@@ -144,6 +144,12 @@ def cholqr1_fused(a: Array,
             f"inplace requires io_dtype == a.dtype, got {policy.io_dtype} "
             f"vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        if inplace:
+            # the XLA fallback cannot honor the peak-HBM ~A contract —
+            # silently degrading would OOM exactly at capacity shapes
+            raise ValueError(
+                f"inplace requires 64 <= n <= {_fused_n_max(policy)} "
+                f"(the fused-kernel range), got n={a.shape[1]}")
         # narrow: lane-tile waste; wide: VMEM (see _fused_n_max) — XLA
         # variant either way
         return cholqr1(a, mode)
@@ -285,6 +291,10 @@ def cholqr2_fused(a: Array,
                 f"inplace requires io_dtype == a.dtype, got "
                 f"{policy.io_dtype} vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        if inplace:
+            raise ValueError(  # see cholqr1_fused: no silent degradation
+                f"inplace requires 64 <= n <= {_fused_n_max(policy)} "
+                f"(the fused-kernel range), got n={a.shape[1]}")
         return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
 
     mname = policy.mode.value
@@ -423,7 +433,7 @@ def fastqr(a: Array,
 def fastqr_inplace(a: Array,
                    mode: modes.ComputeMode | str | modes.Policy = "bf16",
                    method: str = "cholqr1_fused",
-                   variant: str = "safe") -> tuple[Array, Array]:
+                   variant: str = "compact") -> tuple[Array, Array]:
     """Capacity-mode QR: A's buffer is donated and Q is written over it.
 
     Peak HBM is ~A alone (vs A+Q), which admits shapes where A itself
@@ -436,7 +446,6 @@ def fastqr_inplace(a: Array,
     if method == "cholqr1_fused":
         return cholqr1_fused(a, mode, inplace=True)
     if method == "cholqr2_fused":
-        if variant not in ("compact", "turbo"):
-            variant = "compact"
+        # only the recompute pipelines stream A itself in the final pass
         return cholqr2_fused(a, mode, variant=variant, inplace=True)
     raise ValueError(f"fastqr_inplace: unsupported method {method!r}")
