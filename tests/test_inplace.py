@@ -64,6 +64,24 @@ def test_fastqr_inplace_rejects_incompatible_variant():
                              variant="fastest", inplace=True)
 
 
+def test_compact_wide_n_raises_instead_of_degrading():
+    # compact/turbo exist for capacity; the XLA fallback materializes Q1
+    a = _rand(4096, 2048)
+    with pytest.raises(ValueError, match="fused-kernel range"):
+        cholqr.cholqr2_fused(a, "bf16x6_cor", interpret=True,
+                             variant="compact")
+    # narrow panels still delegate silently (BlockQR sub-panels)
+    q, r = cholqr.cholqr2_fused(_rand(256, 16), "bf16x6_cor",
+                                interpret=True, variant="compact")
+    assert q.shape == (256, 16)
+
+
+def test_fastqr_variant_on_variantless_method_raises():
+    a = _rand(256, 64)
+    with pytest.raises(ValueError, match="no variants"):
+        cholqr.fastqr(a, "bf16x6_cor", method="cholqr2", variant="fastest")
+
+
 def test_inplace_requires_recompute_pipeline():
     a = _rand(512, 64)
     with pytest.raises(ValueError, match="recompute pipeline"):

@@ -295,6 +295,15 @@ def cholqr2_fused(a: Array,
             raise ValueError(  # see cholqr1_fused: no silent degradation
                 f"inplace requires 64 <= n <= {_fused_n_max(policy)} "
                 f"(the fused-kernel range), got n={a.shape[1]}")
+        if variant in ("compact", "turbo") and a.shape[1] > _fused_n_max(policy):
+            # the XLA fallback materializes Q1 (peak A+Q1+Q) — silently
+            # abandoning the A+Q-only contract at exactly the capacity
+            # shapes compact exists for would OOM (and poison the
+            # process, CLAUDE.md).  Narrow panels (n < 64, e.g. BlockQR
+            # sub-panels) still delegate: their footprint is small.
+            raise ValueError(
+                f"variant {variant!r} requires n <= {_fused_n_max(policy)} "
+                f"(the fused-kernel range), got n={a.shape[1]}")
         return cholqr2(a, mode)  # see _fused_n_max / cholqr1_fused notes
 
     mname = policy.mode.value
@@ -351,7 +360,9 @@ def cholqr3_fused(a: Array,
     delegate to the XLA variant).  The LAST factor always uses the Delta
     trick when available — after two iterations Q2 is near-orthonormal
     for every in-contract kappa, so Rinv3 = I + tiny holds
-    unconditionally; ``variant="fastest"`` additionally computes Gram #1
+    unconditionally; consequently ``variant="fast"`` compiles the SAME
+    program as "safe" (accepted for interface symmetry with
+    cholqr2_fused).  ``variant="fastest"`` additionally computes Gram #1
     in bf16 (kappa <~ 10; see cholqr2_fused)."""
     from tsqr_tpu.ops import pallas_gram
 
@@ -421,9 +432,15 @@ def fastqr(a: Array,
     methods: cholqr1/2/3 (pure XLA) and cholqr{1,2,3}_fused (streaming
     Pallas kernels, TPU only).  ``variant`` trades CholeskyQR's
     self-correction slack for MXU passes in the fused corrected methods
-    (see cholqr2_fused: safe / fast / fastest).
+    (see cholqr2_fused: safe / fast / fastest); other methods accept
+    only the default "safe" — a non-default variant on a method that
+    cannot honor it raises instead of silently running the default.
     """
-    if variant != "safe" and method in ("cholqr2_fused", "cholqr3_fused"):
+    if variant != "safe":
+        if method not in ("cholqr2_fused", "cholqr3_fused"):
+            raise ValueError(
+                f"method {method!r} has no variants (got {variant!r}); "
+                f"variants exist for cholqr2_fused/cholqr3_fused only")
         return _METHODS[method](a, mode, variant=variant)
     return _METHODS[method](a, mode)
 

@@ -56,7 +56,9 @@ def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
         return g + d
     if method == "cholqr2_fused":
         if mode in _CHEAP:
-            return g + (d + g) + 2 * d          # recompute pipeline
+            # recompute pipeline; Gram #1 relaxes to 1 bf16 pass under
+            # fastest/turbo exactly as in cholqr2_fused (g1_mode)
+            return min(g, g1) + (d + g) + 2 * d
         if variant in ("compact", "turbo"):
             # recompute pipeline: G1 + (recompute-Q1 dot + G2) +
             # (recompute-Q1 dot + Delta final factor)
@@ -65,7 +67,7 @@ def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
         return g1 + (d + g) + last              # write-Q1 pipeline
     if method == "cholqr3_fused":
         if mode in _CHEAP:
-            return g + (d + g) + (2 * d + g) + 3 * d
+            return min(g, g1) + (d + g) + (2 * d + g) + 3 * d
         return g1 + (d + g) + (d + g) + _DELTA.get(mode, d)
     raise ValueError(method)
 

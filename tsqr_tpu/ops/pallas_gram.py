@@ -190,8 +190,11 @@ def stream_pallas(a: Array,
     # keep the scoped-VMEM footprint (chunk block + splits + (n, n)
     # accumulators) under the limit at wide n (n=2048 with chunk=1024
     # measured 102.9M vs the 100M budget), and don't pad small m up to a
-    # full default chunk (lane-padding waste bounded at ~512 rows)
-    chunk = min(chunk, max(512, (1 << 20) // n), -(-m // 512) * 512)
+    # full default chunk (lane-padding waste bounded at ~512 rows).
+    # The VMEM clamp is floored to a sublane multiple (8) so interior
+    # blocks stay (8, 128)-tile aligned for non-power-of-two n.
+    chunk = min(chunk, max(512, ((1 << 20) // n) & ~7),
+                -(-m // 512) * 512)
     a = _pad_chunks(a, chunk)
     m_pad = a.shape[0]
     dot_ms = tuple(_resolve_mode(d) for d in dot_modes)

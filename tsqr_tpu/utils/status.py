@@ -27,8 +27,14 @@ def print_matrix(a, name: str = "", file=sys.stdout,
     a = np.asarray(a)
     if name:
         print(f"# {name} {a.shape} {a.dtype}", file=file)
-    r, c = a.shape if a.ndim == 2 else (a.shape[0], 1)
-    view = a.reshape(r, c)[:max_rows, :max_cols]
+    if a.ndim == 0:
+        a = a.reshape(1, 1)
+    elif a.ndim == 1:
+        a = a.reshape(-1, 1)
+    elif a.ndim > 2:  # batched tiles: flatten trailing dims per row
+        a = a.reshape(a.shape[0], -1)
+    r, c = a.shape
+    view = a[:max_rows, :max_cols]
     for row in view:
         print(" ".join(f"{v:+.4e}" for v in row), file=file)
     if r > max_rows or c > max_cols:

@@ -126,7 +126,10 @@ def orthogonality_wide_device(q: Array, col_block: int = 2048,
     """
     from jax import lax
 
-    q = q.astype(jnp.float32)
+    # NO up-front astype: for bf16 Q that is a second full-size HBM copy
+    # (OOM risk at capacity shapes — same rule as residual_device_chunked
+    # below); each row chunk casts to f32 inside the loop instead, which
+    # is numerically identical.
     m, n = q.shape
     cb = min(col_block, n)
     n_pad = -(-n // cb) * cb
@@ -146,7 +149,8 @@ def orthogonality_wide_device(q: Array, col_block: int = 2048,
             g, comp = carry
             # dynamic_slice (not scan-over-reshaped-xs): XLA materializes
             # loop-owned copies of scan xs — OOM at large m (measured)
-            qc = lax.dynamic_slice(q, (i * rc, 0), (rc, q.shape[1]))
+            qc = lax.dynamic_slice(q, (i * rc, 0),
+                                   (rc, q.shape[1])).astype(jnp.float32)
             blk = lax.dynamic_slice(qc, (0, c0), (rc, cb))
             contrib = lax.dot_general(
                 qc, blk, (((0,), (0,)), ((), ())),
