@@ -21,7 +21,10 @@ from tsqr_tpu.core import blockqr, cholqr
 
 Array = jax.Array
 
-# orthogonality acceptance per mode (~10x the mode's intrinsic grade)
+# orthogonality acceptance per mode (~10x the mode's intrinsic grade).
+# The emu modes get the tolerance of the mode they emulate (a missing
+# entry used to default them to 1e-4, which MIXED_COR_EMU-grade output
+# can miss on perfectly valid inputs — spurious expensive fallbacks).
 _TOL = {
     modes.ComputeMode.FP32: 1e-5,
     modes.ComputeMode.BF16: 5e-2,
@@ -29,6 +32,10 @@ _TOL = {
     modes.ComputeMode.BF16X3_NOCOR: 1e-3,
     modes.ComputeMode.BF16X3_COR: 1e-4,
     modes.ComputeMode.BF16X6_COR: 1e-5,
+    modes.ComputeMode.BF16_NOCOR_EMU: 5e-2,
+    modes.ComputeMode.TF32_NOCOR_EMU: 1e-3,
+    modes.ComputeMode.BF16X3_COR_EMU: 1e-4,
+    modes.ComputeMode.MIXED_COR_EMU: 1e-3,
 }
 
 
@@ -69,13 +76,15 @@ def qr_auto(a: Array,
             orth = validation.orthogonality_accurate(q)
         if np.isfinite(orth) and orth < tol:
             return q, r, fast_method
-    # Fallback: the Householder tree with its TUNED defaults — the
-    # sublane-batched Pallas panel kernel on a real TPU (7x faster leaves
-    # than vmapped XLA at 2^20 x 128, see ops/pallas_panel_sb.py), plus
-    # reorthogonalization: an input that defeated CholeskyQR3 is exactly
-    # the extreme-kappa case where single-pass CGS loses orthogonality.
-    if "impl" not in qr_kw and jax.devices()[0].platform == "tpu":
-        qr_kw["impl"] = "pallas_sb"
+    # Fallback: the Householder tree with reorthogonalization — an input
+    # that defeated CholeskyQR3 is exactly the extreme-kappa case where
+    # single-pass CGS loses orthogonality.  The default impl stays "jnp":
+    # the whole-tree program with pallas_sb leaves has not yet been
+    # demonstrated to compile on the real chip (docs/ROUND2.md item 3 —
+    # the remote-compile helper dies on it), and a safety net must not be
+    # the one configuration known to crash.  Once the sb-tree is proven
+    # on-chip, pass impl="pallas_sb" explicitly (7x faster leaves at
+    # 2^20 x 128, ops/pallas_panel_sb.py).
     qr_kw.setdefault("reorth", True)
     q, r = blockqr.qr(a, mode, **qr_kw)
     return q, r, "blockqr_tsqr"
@@ -111,9 +120,14 @@ def qr_auto_fused(a: Array,
     policy = modes.resolve(mode)
     tol = _TOL.get(policy.mode, 1e-4)
 
-    q_f, r_f = cholqr.fastqr(a, policy.mode.value, method=fast_method,
-                             variant=fast_variant)
-    orth = validation.orthogonality_wide_device(q_f.astype(jnp.float32))
+    q_f, r_f = cholqr.fastqr(a,
+                             mode if isinstance(mode, modes.Policy)
+                             else policy.mode.value,
+                             method=fast_method, variant=fast_variant)
+    # no up-front astype: orthogonality_wide_device casts each row chunk
+    # to f32 inside its loop — a full-size f32 copy of a bf16 Q here
+    # would re-create the OOM risk that function just removed
+    orth = validation.orthogonality_wide_device(q_f)
     ok = orth < tol  # False for NaN: falls back
 
     def robust(_):

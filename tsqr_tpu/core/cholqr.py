@@ -435,6 +435,14 @@ def fastqr(a: Array,
     (see cholqr2_fused: safe / fast / fastest); other methods accept
     only the default "safe" — a non-default variant on a method that
     cannot honor it raises instead of silently running the default.
+
+    Caveat: "fast"/"fastest" on the fused methods are best-effort in n —
+    outside the fused-kernel range (n < 64 or n > _fused_n_max) the call
+    delegates to the XLA cholqr2/cholqr3, which have no variants, so the
+    variant is dropped there (the XLA path is full-precision, i.e.
+    strictly MORE accurate — never less).  "compact"/"turbo" raise
+    instead when n is too wide, because their A+Q-only HBM contract
+    cannot be honored by the XLA fallback (see cholqr2_fused).
     """
     if variant != "safe":
         if method not in ("cholqr2_fused", "cholqr3_fused"):

@@ -59,8 +59,11 @@ def qr_out_of_core(a: np.ndarray,
         for lo, hi in _chunks(m, chunk_rows):
             g = g + gram_fn(jnp.asarray(src[lo:hi], jnp.float32))
         if it == 0 and method == "cholqr3":
-            eps = jnp.float32(6.0e-8)
-            shift = 11.0 * (m * n + n * (n + 1)) * eps * jnp.trace(g)
+            # the library's shift (cholqr._shift_value) — the old
+            # trace-based 11(mn + n(n+1))*eps*trace(G) form here was up
+            # to n x over (measured 16x over on latms spectra,
+            # cholqr.py:48-64), wasting the preconditioner
+            shift = cholqr._shift_value(g, m, n)
         else:
             shift = 0.0
         r = np.asarray(cholqr._chol_r(g, shift=shift))

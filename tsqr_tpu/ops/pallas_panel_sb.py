@@ -3,13 +3,14 @@ index in the SUBLANE dimension.
 
 Third take on the reference's batched panel kernel (qr32x16_batched_kernel,
 tcqr32x16.cu:1471-1532; 4 tiles per thread block).  Why this layout wins
-where ops/pallas_panel_mt.py stalled:
+where the superseded lane-packed take (docs/attic/pallas_panel_mt.py, kept
+out of the production surface) stalled:
 
 * pallas_panel.py (single tile/program): correct, but Mosaic runs grid
   programs sequentially on the one TensorCore, so 2048 leaf programs x
   128 serial Householder steps x ~1 us of per-step latency dominate
   (~240 ms at 2^20 x 128).
-* pallas_panel_mt.py packed T tiles side-by-side in the LANE dimension;
+* pallas_panel_mt (attic) packed T tiles side-by-side in the LANE dimension;
   per-tile reductions then needed either segment-matrix MXU products
   (serial-critical-path HIGHEST GEMMs — measured slower) or value-level
   reshapes that Mosaic's layout inference rejects.

@@ -106,3 +106,25 @@ def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3) -> float:
     # carry-touch overhead, subtracted so t reflects fn alone
     t_null = best_of(make_chain(lambda x0: x0.ravel()[:1] * 1.0))
     return max((t_chain - t_null) / loops, 1e-9)
+
+
+def time_fn_amortized_auto(fn: Callable, x, reps: int = 3,
+                           min_active: float = 0.15,
+                           max_loops: int = 64) -> tuple[float, int]:
+    """time_fn_amortized with loops auto-scaled to the kernel's speed.
+
+    The null-subtraction is only as good as the tunnel's dispatch jitter
+    (~1-2 ms per round trip): a chain whose active time is a few ms
+    against a ~30 ms dispatch measures within jitter — the round-2 MFU
+    sweep's physically-impossible 870 GB/s row (m=2^20, n=128,
+    t=1.2 ms x 6 loops = 7 ms active) came exactly from this.  Here a
+    4-loop probe estimates t, then loops is rescaled so the chained
+    active time is >= ``min_active`` seconds (>~ 75x the jitter).
+
+    Returns (seconds_per_call, loops_used).
+    """
+    probe_loops = 4
+    t_est = time_fn_amortized(fn, x, loops=probe_loops, reps=2)
+    loops = max(probe_loops,
+                min(max_loops, int(-(-min_active // max(t_est, 1e-6)))))
+    return time_fn_amortized(fn, x, loops=loops, reps=reps), loops
