@@ -1,16 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark: error-corrected tall-skinny QR on one TPU chip.
+"""Headline benchmark: self-validating error-corrected tall-skinny QR.
 
 Prints ONE JSON line:
-  {"metric": "tsqr_bf16x6_cor_tflops", "value": <TFLOP/s>, "unit": "TFLOP/s",
-   "vs_baseline": <speedup over jnp.linalg.qr on the same chip>}
+  {"metric": "qr_auto_bf16x6_cor_tflops", "value": <TFLOP/s>,
+   "unit": "TFLOP/s", "vs_baseline": <speedup over jnp.linalg.qr>}
 
-Config: M=2^22 (falls back to 2^21 if the chip's HBM is contended),
+Config: M=2^22 (falls back to 2^21/2^20 if the chip's HBM is contended),
 N=128 (BASELINE.md target shape), bf16x6_cor — the reference's headline
-fp32_tc_cor accuracy class — via the MXU-native corrected CholeskyQR3 fast
-path (core/cholqr.py).  Accuracy is asserted (fp32-grade orthogonality),
-not just timed.  Timing amortizes the ~30 ms tunnel dispatch latency by
-chaining iterations inside one jit (utils/timing.py:time_fn_amortized).
+fp32_tc_cor accuracy class.
+
+The measured program is the 3-tier self-validating LADDER
+(core/auto.qr_auto_fused): single-pass corrected CholeskyQR, an
+in-program Kahan-accurate orthogonality gate, the robust shifted
+CholeskyQR3 recompute pipeline (kappa <~ 1e4, measured flat 1.6e-7
+through kappa=2^14 on-chip), a second gate, and the unconditional
+Householder BlockQR tree — ONE jitted program with `lax.cond` executing
+only the tiers the input actually needs.  Unlike round 2's bench (bare
+cholqr1, valid only because uniform random A has kappa ~ 2), this number
+carries NO kappa caveat: any input gets corrected-grade output, and the
+gate cost is INCLUDED in the measured time.  Accuracy is asserted
+(fp32-grade orthogonality), not just timed.  Timing amortizes the
+~30 ms tunnel dispatch by chaining iterations inside one jit
+(utils/timing.py).
 """
 
 import gc
@@ -26,34 +37,27 @@ import numpy as np
 
 
 def run(m: int, n: int) -> dict:
-    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.core import auto
     from tsqr_tpu.harness import flops as flops_mod
     from tsqr_tpu.utils import timing
 
     mode = "bf16x6_cor"
     a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
 
-    # Single-pass corrected CholeskyQR is the right method for this
-    # well-conditioned workload: its orthogonality floor is
-    # kappa^2 * eps_f32 — for uniform random A (kappa ~ 2) that is
-    # fp32-grade, and MEASURED 1.49e-7 at 2^22 x 128 (data/extras.csv
-    # headline_cholqr1x6) — at 3 HBM passes instead of cholqr2_fused's 4
-    # (25.4 vs 13.6 TFLOP/s).  The orthogonality gate below zeroes the
-    # metric if the method ever misses fp32 grade; cholqr3 [safe] is the
-    # robust production default for unknown conditioning.
-    if jax.devices()[0].platform == "tpu":
-        method, variant = "cholqr1_fused", "safe"
-    else:
-        method, variant = "cholqr2", "safe"
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     def qr_fn(x):
-        return cholqr.fastqr(x, mode, method=method, variant=variant)
+        return auto.qr_auto_fused(
+            x, mode,
+            fast_method="cholqr1_fused" if on_tpu else "cholqr1",
+            mid_method="cholqr3_fused" if on_tpu else "cholqr3",
+            mid_variant="compact" if on_tpu else "safe")
 
     # accuracy gate first (fp32-grade orthogonality required).  Measured
     # with the Kahan-compensated streaming Gram (a naive fp32 device Gram
     # adds ~sqrt(m)*eps of measurement error — 3e-4 at m=2^22).
     from tsqr_tpu.utils import validation
-    q, r = jax.jit(qr_fn)(a)
+    q, r = qr_fn(a)
     orth = validation.orthogonality_accurate(q)
     acc_ok = bool(np.isfinite(orth) and orth < 1e-5)
     del q, r
@@ -73,7 +77,7 @@ def run(m: int, n: int) -> dict:
           flush=True)
 
     return {
-        "metric": "tsqr_bf16x6_cor_tflops",
+        "metric": "qr_auto_bf16x6_cor_tflops",
         "value": round(tflops, 3) if acc_ok else 0.0,
         "unit": "TFLOP/s",
         "vs_baseline": round(t_base / t, 3),

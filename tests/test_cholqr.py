@@ -136,6 +136,50 @@ def test_fused_variants_interpret(method, variant):
     assert np.allclose(np.triu(np.asarray(r)), np.asarray(r))
 
 
+@pytest.mark.parametrize("mode", ["fp32", "bf16x6_cor"])
+def test_cholqr3_compact_interpret(mode):
+    # the ROBUST recompute pipeline (composed factors, 5 HBM passes)
+    # must keep full corrected-grade orthogonality AND residual
+    from tsqr_tpu.core.cholqr import cholqr3_fused
+    a = _rand(2048, 64, seed=9)
+    q, r = cholqr3_fused(jnp.asarray(a), mode, interpret=True,
+                         variant="compact")
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-6
+    assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-6
+    assert np.allclose(np.triu(np.asarray(r)), np.asarray(r))
+
+
+def test_cholqr3_compact_ill_conditioned_interpret():
+    # kappa=1e4: inside shifted-CholQR3's contract; compact must match
+    # the safe variant's robustness (the relaxed middle pass is
+    # path-only — its error is measured and repaired by the final Gram)
+    from tsqr_tpu.core.cholqr import cholqr3_fused
+    key = jax.random.PRNGKey(3)
+    a, measured = latms.rand_matrix_with_cond(key, 4096, 64, 1e4)
+    assert measured > 0.9e4
+    q, r = cholqr3_fused(a, "bf16x6_cor", interpret=True,
+                         variant="compact")
+    q = np.asarray(q, np.float64)
+    assert validation.orthogonality(q) < 1e-5
+    assert validation.residual(np.asarray(a), q, np.asarray(r)) < 2e-4
+
+
+def test_cholqr3_compact_contract_errors():
+    from tsqr_tpu.core.cholqr import cholqr3_fused
+    a = jnp.asarray(_rand(512, 64))
+    with pytest.raises(ValueError, match="cheap-dot"):
+        cholqr3_fused(a.astype(jnp.bfloat16), "bf16", interpret=True,
+                      variant="compact")
+    with pytest.raises(ValueError, match="recompute pipeline"):
+        cholqr3_fused(a, "bf16x6_cor", interpret=True, variant="safe",
+                      inplace=True)
+    wide = jnp.asarray(_rand(4096, 2048))
+    with pytest.raises(ValueError, match="fused-kernel range"):
+        cholqr3_fused(wide, "bf16x6_cor", interpret=True,
+                      variant="compact")
+
+
 def test_fused_cheap_mode_recompute_pipeline_interpret():
     # bf16_nocor goes through the recompute-Q1 pipeline (4 HBM passes);
     # accuracy must be at the mode's own (uncorrected bf16) grade

@@ -39,6 +39,19 @@ def test_cholqr2_fused_inplace_matches(variant):
     assert validation.orthogonality(np.asarray(q1, np.float64)) < 5e-6
 
 
+def test_cholqr3_fused_inplace_matches():
+    # the robust capacity path: compact cholqr3 aliased over A must be
+    # bitwise-identical to the non-aliased run
+    a = _rand(768, 64)
+    q0, r0 = cholqr.cholqr3_fused(a, "fp32", interpret=True,
+                                  variant="compact")
+    q1, r1 = cholqr.cholqr3_fused(a, "fp32", interpret=True,
+                                  variant="compact", inplace=True)
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    assert validation.orthogonality(np.asarray(q1, np.float64)) < 5e-6
+
+
 def test_inplace_dtype_mismatch_raises():
     a = _rand(512, 64)  # f32 input, bf16 io_dtype
     with pytest.raises(ValueError, match="io_dtype == a.dtype"):

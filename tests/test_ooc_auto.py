@@ -39,6 +39,39 @@ def test_ooc_corrected_mode():
     assert validation.residual(a, q, r) < 1e-5
 
 
+def test_ooc_bf16_cholqr1_and_streamed_metrics():
+    # the m=2^26 capacity config in miniature: bf16 host storage,
+    # single-pass CholeskyQR, metrics streamed chunk-wise (at the real
+    # envelope edge Q alone exceeds HBM, so in-core metrics cannot run)
+    rng = np.random.default_rng(4)
+    a32 = rng.uniform(-1, 1, (4096, 64)).astype(np.float32)
+    a = a32.astype(jnp.bfloat16)  # ml_dtypes bf16 numpy storage
+    q, r = ooc.qr_out_of_core(a, "bf16", method="cholqr1", chunk_rows=1024)
+    assert q.dtype == jnp.dtype(jnp.bfloat16)
+    orth = ooc.ooc_orthogonality(q, chunk_rows=1024)
+    resid = ooc.ooc_residual(a, q, r, chunk_rows=1024)
+    # bf16 IO grade (Q storage rounds at ~4e-3)
+    assert orth < 2e-2 and resid < 2e-2
+    # streamed metrics agree with the host fp64 golden at this size
+    assert abs(orth - validation.orthogonality(q.astype(np.float64))) < 1e-3
+    assert abs(resid - validation.residual(
+        a32, q.astype(np.float64), r.astype(np.float64))) < 1e-3
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="capacity shape needs the real chip")
+def test_ooc_tpu_gated_smoke():
+    # TPU-gated lane: the OOC driver against the real chip at a shape
+    # that exercises multi-chunk streaming (not the 2^26 campaign — that
+    # runs via scripts/run_ooc_big.py — but the same code path on-chip)
+    rng = np.random.default_rng(5)
+    a = rng.uniform(-1, 1, (1 << 21, 128)).astype(np.float32)
+    q, r = ooc.qr_out_of_core(a, "bf16x6_cor", method="cholqr2",
+                              chunk_rows=1 << 19)
+    assert ooc.ooc_orthogonality(q, chunk_rows=1 << 19) < 1e-5
+    assert ooc.ooc_residual(a, q, r, chunk_rows=1 << 19) < 1e-5
+
+
 def test_auto_uses_fast_path_when_well_conditioned():
     rng = np.random.default_rng(3)
     a = jnp.asarray(rng.uniform(-1, 1, (2048, 32)).astype(np.float32))

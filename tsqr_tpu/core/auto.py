@@ -90,13 +90,34 @@ def qr_auto(a: Array,
     return q, r, "blockqr_tsqr"
 
 
+def _gate_orth(q: Array) -> Array:
+    """In-program orthogonality measurement for the ladder gates.
+
+    On TPU, the Kahan streaming Pallas Gram at bf16x6 grade (~1e-7
+    measurement error, m-independent; 4 MXU passes + one HBM read of Q
+    — the cheapest full-grade gate).  Elsewhere (and for n beyond the
+    kernel's VMEM range) the column-blocked XLA variant."""
+    from tsqr_tpu.utils import validation
+
+    n = q.shape[1]
+    if jax.default_backend() == "tpu" and 64 <= n <= 1024:
+        from tsqr_tpu.ops import pallas_gram
+        p = pallas_gram.stream_pallas(q, gram_mode="bf16x6_cor")
+        g = p + p.T
+        return jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+    return validation.orthogonality_wide_device(q)
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
-                                             "fast_variant", "impl",
+                                             "fast_variant", "mid_method",
+                                             "mid_variant", "impl",
                                              "leaf_rows", "fanin", "reorth"))
 def qr_auto_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   fast_method: str = "cholqr3_fused",
                   fast_variant: str = "safe",
+                  mid_method: str | None = None,
+                  mid_variant: str = "compact",
                   impl: str = "jnp",
                   leaf_rows: int = 2048,
                   fanin: int = 8,
@@ -105,37 +126,48 @@ def qr_auto_fused(a: Array,
 
     :func:`qr_auto` dispatches twice (fast path, host fetch of the
     orthogonality scalar, maybe robust path).  Here the fast CholeskyQR,
-    the Kahan-accurate on-device orthogonality gate
-    (validation.orthogonality_wide_device — measurement error independent
-    of m), and the Householder-tree fallback live inside one jit; XLA's
-    ``lax.cond`` executes the expensive robust branch only when the gate
-    fails at runtime.  NaNs from a failed Cholesky also trip the gate
-    (orth is NaN -> the comparison is False -> robust branch).
+    the accurate on-device orthogonality gate (:func:`_gate_orth` —
+    measurement error independent of m), and the fallbacks live inside
+    one jit; XLA's ``lax.cond`` executes an expensive branch only when
+    the gate fails at runtime.  NaNs from a failed Cholesky also trip
+    the gate (orth is NaN -> the comparison is False -> fall through).
 
-    The robust branch costs compile time (both paths are traced) but
-    runs only on inputs that actually defeated the fast method.
+    With ``mid_method`` set (e.g. "cholqr3_fused"/"compact"), the driver
+    is a 3-tier LADDER: fast path (e.g. single-pass CholeskyQR — kappa
+    <~ 10 at corrected grade), then the robust Gram pipeline (kappa <~
+    1e4), then the unconditional Householder BlockQR tree.  Each tier
+    pays its gate only if the previous tier failed, so the
+    well-conditioned common case runs at tier-1 speed + ONE gate — this
+    is the no-kappa-caveat headline configuration (bench.py).
+
+    The untaken branches cost compile time (all tiers are traced) but
+    run only on inputs that actually defeated the faster methods.
     """
-    from tsqr_tpu.utils import validation
-
     policy = modes.resolve(mode)
     tol = _TOL.get(policy.mode, 1e-4)
+    pmode = mode if isinstance(mode, modes.Policy) else policy.mode.value
 
-    q_f, r_f = cholqr.fastqr(a,
-                             mode if isinstance(mode, modes.Policy)
-                             else policy.mode.value,
-                             method=fast_method, variant=fast_variant)
-    # no up-front astype: orthogonality_wide_device casts each row chunk
-    # to f32 inside its loop — a full-size f32 copy of a bf16 Q here
-    # would re-create the OOM risk that function just removed
-    orth = validation.orthogonality_wide_device(q_f)
-    ok = orth < tol  # False for NaN: falls back
+    q_f, r_f = cholqr.fastqr(a, pmode, method=fast_method,
+                             variant=fast_variant)
+    ok = _gate_orth(q_f) < tol  # False for NaN: falls through
 
-    def robust(_):
+    def householder(_):
         q, r = blockqr.qr(a, policy, reorth=reorth, impl=impl,
                           leaf_rows=leaf_rows, fanin=fanin)
         return q.astype(q_f.dtype), r.astype(r_f.dtype)
 
+    def mid(_):
+        q_m, r_m = cholqr.fastqr(a, pmode, method=mid_method,
+                                 variant=mid_variant)
+        ok_m = _gate_orth(q_m) < tol
+
+        def mid_ok(_):
+            return q_m.astype(q_f.dtype), jnp.triu(r_m).astype(r_f.dtype)
+
+        return jax.lax.cond(ok_m, mid_ok, householder, None)
+
     def fast(_):
         return q_f, jnp.triu(r_f)
 
-    return jax.lax.cond(ok, fast, robust, None)
+    fallback = mid if mid_method is not None else householder
+    return jax.lax.cond(ok, fast, fallback, None)

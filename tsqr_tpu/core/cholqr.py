@@ -61,7 +61,13 @@ def _shift_value(g: Array, m: int, n: int) -> Array:
     """
     eps = jnp.float32(6.0e-8)
     sqrt_m = jnp.sqrt(jnp.asarray(m, jnp.float32))  # m may be traced
-    return (11.0 * (sqrt_m * n + n * (n + 1)) * eps * jnp.linalg.norm(g))
+    # (1, 1)-shaped, NOT rank-0: a rank-0 value in the dependency chain
+    # forces a vector->scalar->vector round-trip that stalls the whole
+    # downstream pipeline on TPU (measured +6.5 ms at 2^22 x 128 for ANY
+    # data-dependent scalar — even g[0, 0]); a (1, 1) array stays on the
+    # vector side and broadcasts for free.
+    norm = jnp.sqrt(jnp.sum(g * g, keepdims=True))
+    return (11.0 * (sqrt_m * n + n * (n + 1)) * eps) * norm
 
 
 def _chol_r(g: Array, shift: float | Array = 0.0) -> Array:
@@ -215,6 +221,39 @@ def _rinv(r: Array) -> Array:
         r, jnp.eye(n, dtype=r.dtype), lower=False)
 
 
+def _shift_value_fused(g: Array, n: int, chunk: int) -> Array:
+    """Cholesky-safeguard shift for the STREAMING (Kahan) Gram.
+
+    The generic ``_shift_value`` budgets sqrt(m)*eps of Gram accumulation
+    error — correct for a naive f32 accumulation, but the fused pipelines
+    accumulate per-chunk contributions with Kahan compensation
+    (ops/pallas_gram.stream_pallas), whose error is chunk-local:
+    ~sqrt(chunk)*eps, INDEPENDENT of m.  Budgeting the smaller true error
+    lets the shift stay ~10x smaller at m = 2^22, and since each shifted
+    pass contracts kappa by ~sqrt(||G||/s), a needlessly large shift
+    directly wastes kappa coverage — this is the TPU-first dividend of
+    the compensated streaming Gram (no reference analogue: the CUDA code
+    has no shifted CholeskyQR at all).
+    """
+    eps = jnp.float32(6.0e-8)
+    c = jnp.sqrt(jnp.float32(chunk))
+    # (1, 1)-shaped for the same no-rank-0 rule as _shift_value
+    norm = jnp.sqrt(jnp.sum(g * g, keepdims=True))
+    return (11.0 * (c * n + n * (n + 1)) * eps) * norm
+
+
+def _compose(*factors: Array) -> Array:
+    """Near-exact f32 product of small (n, n) factors (HIGHEST matmul:
+    ~2^-24-grade on TPU via XLA's 6-pass decomposition, true f32 on CPU).
+    Composing R-inverses into ONE factor lets a streaming pass apply a
+    whole CholeskyQR iteration chain as a single corrected dot — the
+    m-scale MXU cost stops growing with the number of iterations."""
+    acc = factors[0].astype(jnp.float32)
+    for f in factors[1:]:
+        acc = modes.mm_fp32(acc, f)
+    return acc
+
+
 # Cheap-dot modes: a single (or triple) MXU pass per product.  For these
 # the recompute-Q1 pipeline (4 HBM passes, Q1 re-derived bitwise in VMEM)
 # beats writing Q1; the re-dot residual error is at the mode's own grade
@@ -223,9 +262,13 @@ def _rinv(r: Array) -> Array:
 # write+read round-trip costs.
 _CHEAP_DOT = (modes.ComputeMode.BF16, modes.ComputeMode.BF16_NOCOR,
               modes.ComputeMode.BF16X3_NOCOR)
-# Delta-trick correction mode per main mode (see stream_pallas residual)
+# Delta-trick correction mode per main mode (see stream_pallas residual).
+# FP32 maps to the explicit 2-way split (bf16x3_cor), NOT bf16x3_nocor:
+# lax.Precision.HIGH is unsupported inside Mosaic ("Unsupported dot
+# precision: HIGH" on v5e), and the explicit split is the same 3-pass
+# cost at slightly better accuracy.
 _DELTA_MODE = {modes.ComputeMode.BF16X6_COR: "bf16x3_cor",
-               modes.ComputeMode.FP32: "bf16x3_nocor"}
+               modes.ComputeMode.FP32: "bf16x3_cor"}
 
 
 def _delta(r: Array) -> Array:
@@ -352,10 +395,24 @@ def cholqr2_fused(a: Array,
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
+# Relaxed mode for PATH-ONLY work in the robust compact pipeline: the
+# middle pass's DOT only steers the preconditioner chain (its error is
+# embedded in Q1', whose Gram is then measured exactly and repaired
+# downstream), so a 3-pass product suffices where the contract-bearing
+# passes need 6.  The middle GRAM must stay full-grade: a relaxed Gram's
+# ~1e-5 entry error swamps sigma_min(G2) ~ ||G2||/kappa1^2 once
+# kappa1 >~ 300, making G2 indefinite -> Cholesky NaN (hit by the
+# kappa=1e4 interpret test when both were relaxed).
+_RELAXED_MID = {modes.ComputeMode.BF16X6_COR: "bf16x3_cor",
+                modes.ComputeMode.FP32: "bf16x3_cor",
+                modes.ComputeMode.BF16X3_COR: "bf16x3_cor"}
+
+
 def cholqr3_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   interpret: bool = False,
-                  variant: str = "safe") -> tuple[Array, Array]:
+                  variant: str = "safe",
+                  inplace: bool = False) -> tuple[Array, Array]:
     """Shifted CholeskyQR3 on the streaming kernels (narrow panels
     delegate to the XLA variant).  The LAST factor always uses the Delta
     trick when available — after two iterations Q2 is near-orthonormal
@@ -363,15 +420,61 @@ def cholqr3_fused(a: Array,
     unconditionally; consequently ``variant="fast"`` compiles the SAME
     program as "safe" (accepted for interface symmetry with
     cholqr2_fused).  ``variant="fastest"`` additionally computes Gram #1
-    in bf16 (kappa <~ 10; see cholqr2_fused)."""
+    in bf16 (kappa <~ 10; see cholqr2_fused).
+
+    ``variant="compact"`` (corrected/fp32 modes) is the ROBUST recompute
+    pipeline — full cholqr3 kappa contract at cholqr2-class cost:
+
+    * Gram #1 full-grade + shifted (``_shift_value_fused``: the Kahan
+      streaming Gram's m-independent error licenses a ~10x smaller shift
+      at m = 2^22 than the naive-accumulation bound, i.e. MORE kappa
+      contraction per pass).
+    * The middle pass re-derives Q1 from A with a RELAXED (3-pass) dot —
+      path-only work whose error is repaired downstream — while its Gram
+      stays full-grade (the kappa-coverage bearer; see _RELAXED_MID).
+    * Passes 3-4 apply the COMPOSED factor F2 = Rinv1 Rinv2 (``_compose``,
+      near-exact f32): each costs ONE full-grade dot instead of a chain,
+      and because the recomputation is bitwise deterministic, the final
+      Gram G3 measures EXACTLY the Q2 the last pass re-derives — the
+      Delta-trick correction then holds by construction.
+
+    5 HBM passes (4 reads of A + 1 write of Q; peak footprint A + Q
+    only, vs 7 passes and A + Q1 + Q2 + Q for the write-through form) at
+    4 + (3+4) + (6+4) + (6+3) = 30 MXU passes for bf16x6_cor (vs 27 for
+    "safe") — a win wherever 2 HBM passes cost more than 3 MXU passes
+    (n <= ~512 at v5e ratios).  This lifts the round-2 ban on recompute
+    pipelines for cholqr3: the ban predated ``_compose`` — chaining
+    un-composed full-grade dots would have cost 12 extra passes.
+
+    inplace=True (compact only) writes Q over A's buffer — the robust
+    pipeline at capacity shapes; enter via ``fastqr_inplace``."""
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
-    if variant not in ("safe", "fast", "fastest"):
+    if variant not in ("safe", "fast", "fastest", "compact"):
+        raise ValueError(f"cholqr3_fused: unknown variant {variant!r}")
+    if variant == "compact" and policy.mode in _CHEAP_DOT:
         raise ValueError(
-            f"cholqr3_fused: unknown variant {variant!r} (the "
-            f"compact/turbo recompute pipelines are cholqr2_fused-only)")
+            "cholqr3_fused: the cheap-dot modes already run a recompute "
+            "pipeline under every variant; 'compact' applies to the "
+            "corrected/fp32 modes")
+    if inplace:
+        if variant != "compact":
+            raise ValueError("inplace requires the recompute pipeline "
+                             "(variant 'compact')")
+        if jnp.dtype(policy.io_dtype) != a.dtype:
+            raise ValueError(
+                f"inplace requires io_dtype == a.dtype, got "
+                f"{policy.io_dtype} vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        if inplace or (variant == "compact"
+                       and a.shape[1] > _fused_n_max(policy)):
+            # the XLA fallback cannot honor the A+Q-only footprint —
+            # see cholqr2_fused: no silent degradation at capacity shapes
+            raise ValueError(
+                f"variant 'compact' requires 64 <= n <= "
+                f"{_fused_n_max(policy)} (the fused-kernel range), got "
+                f"n={a.shape[1]}")
         return cholqr3(a, mode)  # see _fused_n_max / cholqr1_fused notes
 
     mname = policy.mode.value
@@ -380,7 +483,34 @@ def cholqr3_fused(a: Array,
     m, n = a.shape
     g1_mode = "bf16" if variant == "fastest" else mname
     g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
-    r1 = _chol_r(g, shift=_shift_value(g, m, n))
+    chunk = pallas_gram.effective_chunk(m, n)
+    r1 = _chol_r(g, shift=_shift_value_fused(g, n, chunk))
+
+    if variant == "compact":
+        mid = _RELAXED_MID.get(policy.mode, mname)
+        p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mid,),
+                                       gram_mode=mname, interpret=interpret)
+        r2 = _chol_r(p2 + p2.T)
+        f2 = _compose(_rinv(r1), _rinv(r2))
+        p3 = pallas_gram.stream_pallas(a, (f2,), (mname,),
+                                       gram_mode=mname, interpret=interpret)
+        r3 = _chol_r(p3 + p3.T)
+        dmode = _DELTA_MODE.get(policy.mode)
+        if dmode is not None:
+            q = pallas_gram.stream_pallas(a, (f2, _delta(r3)),
+                                          (mname, dmode),
+                                          residual=(False, True),
+                                          write_q=True, interpret=interpret,
+                                          out_dtype=policy.io_dtype,
+                                          alias_q=inplace)
+        else:
+            q = pallas_gram.stream_pallas(a, (_compose(f2, _rinv(r3)),),
+                                          (mname,), write_q=True,
+                                          interpret=interpret,
+                                          out_dtype=policy.io_dtype,
+                                          alias_q=inplace)
+        r = jnp.triu(modes.mm_fp32(r3, modes.mm_fp32(r2, r1)))
+        return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
     if policy.mode in _CHEAP_DOT:
         p2 = pallas_gram.stream_pallas(a, (_rinv(r1),), (mname,),
@@ -473,4 +603,8 @@ def fastqr_inplace(a: Array,
     if method == "cholqr2_fused":
         # only the recompute pipelines stream A itself in the final pass
         return cholqr2_fused(a, mode, variant=variant, inplace=True)
+    if method == "cholqr3_fused":
+        # the ROBUST capacity path: full cholqr3 kappa contract with
+        # peak HBM ~ A alone (variant must be "compact")
+        return cholqr3_fused(a, mode, variant=variant, inplace=True)
     raise ValueError(f"fastqr_inplace: unsupported method {method!r}")

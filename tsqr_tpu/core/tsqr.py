@@ -123,7 +123,8 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
 
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
                                              "leaf_qr", "impl", "block",
-                                             "collect_level_q", "want_q"))
+                                             "collect_level_q", "want_q",
+                                             "tree_impl"))
 def tsqr(a: Array,
          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
          leaf_rows: int = DEFAULT_LEAF_ROWS,
@@ -132,7 +133,8 @@ def tsqr(a: Array,
          impl: str = "jnp",
          block: int = DEFAULT_BLOCK,
          collect_level_q: bool = False,
-         want_q: bool = True):
+         want_q: bool = True,
+         tree_impl: str = "jnp"):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 
     ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
@@ -151,6 +153,13 @@ def tsqr(a: Array,
         instrumentation (≙ the EVALUATE_EACH_SMALL_Q compile-time flag,
         tsqr.cu:25, 1219-1250, which runs multi_orthogonality on every
         level's Q tiles) — returns (q, r, [level Qs]).
+      tree_impl: batched-QR impl for the INNER tree levels (default
+        "jnp").  The tree nodes are small (fanin*n, n) QRs where the
+        Pallas panel kernels buy nothing, and each distinct shape would
+        compile its own kernel instantiation — the round-2
+        whole-tree-with-sb-leaves program that killed the tunnel's
+        remote-compile helper carried exactly those extra
+        instantiations.  ``impl`` now selects the LEAF kernel only.
       want_q: False compiles the forward-only (compute-R) program — the
         backward Q reconstruction (and any leaf Q build it alone consumes)
         is absent from the fused graph, returning (None, R).  This is both
@@ -165,9 +174,9 @@ def tsqr(a: Array,
         raise ValueError(f"tsqr requires m >= n, got {a.shape}")
     a = a.astype(jnp.float32)
     mm = policy.mm
-    batched_qr = _make_batched_qr(policy, impl, block)
     if leaf_qr is None:
-        leaf_qr = batched_qr
+        leaf_qr = _make_batched_qr(policy, impl, block)
+    batched_qr = _make_batched_qr(policy, tree_impl, block)
 
     bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)
     a = _pad_rows(a, m_pad)

@@ -68,6 +68,12 @@ def fused_mxu_passes(mode: str, method: str, variant: str = "safe") -> int:
     if method == "cholqr3_fused":
         if mode in _CHEAP:
             return min(g, g1) + (d + g) + (2 * d + g) + 3 * d
+        if variant == "compact":
+            # composed-factor recompute: G1 + mid (relaxed x3 dot +
+            # full-grade half-gram) + (F2 dot + full gram) + (F2 dot +
+            # Delta)
+            rd = DOT_PASSES["bf16x3_cor"]
+            return g + (rd + g) + (d + g) + d + _DELTA.get(mode, d)
         return g1 + (d + g) + (d + g) + _DELTA.get(mode, d)
     raise ValueError(method)
 
@@ -86,6 +92,8 @@ def fused_hbm_bytes(m: int, n: int, mode: str, method: str,
     if method == "cholqr3_fused":
         if mode in _CHEAP:
             return io * mn * 5
+        if variant == "compact":
+            return io * mn * 5                  # rA x4, wQ
         return io * mn * 7
     raise ValueError(method)
 

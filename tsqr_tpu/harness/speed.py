@@ -31,14 +31,16 @@ def speed_row(m: int, n: int, mode: str, reorth: bool = False,
     a = jax.random.uniform(jax.random.PRNGKey(seed), (m, n), jnp.float32,
                            -1, 1)
     # 1 warm-up + timed runs (≙ test.cu:290-309); amortized in-jit chaining
-    # because block_until_ready is unreliable on tunneled backends
+    # because block_until_ready is unreliable on tunneled backends, with
+    # loops auto-scaled so fast configs are not measured within dispatch
+    # jitter (timing.time_fn_amortized_auto)
     from tsqr_tpu.utils import timing
-    elapsed = timing.time_fn_amortized(
+    elapsed, _ = timing.time_fn_amortized_auto(
         lambda x: blockqr.qr(x, policy, reorth=reorth,
                              panel_width=panel_width, leaf_rows=leaf_rows,
                              fanin=fanin, impl=impl,
                              panel_method=panel_method),
-        a, loops=max(2, trials), reps=2)
+        a, reps=2, max_loops=max(8, trials))
     fl = flops_mod.blockqr_flops(m, n, panel_width, leaf_rows, fanin, reorth)
     wmem = tsqr_mod.working_memory_elems(m, min(n, panel_width), leaf_rows,
                                          fanin) * 4
