@@ -114,3 +114,32 @@ def test_fused_cholqr3_compiled_accuracy():
     q, r = cholqr.cholqr3_fused(a, "bf16x6_cor")
     orth = validation.orthogonality_accurate(q)
     assert np.isfinite(orth) and orth < 1e-6
+
+
+def test_cholqr3_compact_compiled_accuracy():
+    # the robust composed-factor recompute pipeline on the real chip
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.utils import validation
+    a = _rand(1 << 18, 128, seed=8)
+    q, r = cholqr.cholqr3_fused(a, "bf16x6_cor", variant="compact")
+    orth = validation.orthogonality_accurate(q)
+    assert np.isfinite(orth) and orth < 1e-6
+
+
+def test_whole_tree_sb_leaves_compiled():
+    # the round-2 blocker: the FULL fused TSQR tree with sublane-batched
+    # Pallas leaves in one program on the chip (tsqr.cu:1064-1279 is the
+    # reference's on-device whole-tree artifact).  Round 3 routes the
+    # inner tree levels through the vmapped XLA path (tree_impl="jnp" —
+    # the r2 program instantiated an sb kernel per tree level and killed
+    # the remote-compile helper).
+    from tsqr_tpu.core import tsqr as tsqr_mod
+    from tsqr_tpu.utils import validation
+    m, n = 1 << 18, 128
+    a = _rand(m, n, seed=9)
+    q, r = tsqr_mod.tsqr(a, "fp32", impl="pallas_sb", leaf_rows=2048,
+                         block=32)
+    orth = validation.orthogonality_accurate(q)
+    assert np.isfinite(orth) and orth < 1e-5
+    resid = float(validation.residual_device_chunked(a, q, r))
+    assert np.isfinite(resid) and resid < 1e-5

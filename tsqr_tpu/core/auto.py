@@ -147,9 +147,20 @@ def qr_auto_fused(a: Array,
     tol = _TOL.get(policy.mode, 1e-4)
     pmode = mode if isinstance(mode, modes.Policy) else policy.mode.value
 
-    q_f, r_f = cholqr.fastqr(a, pmode, method=fast_method,
-                             variant=fast_variant)
-    ok = _gate_orth(q_f) < tol  # False for NaN: falls through
+    n = a.shape[1]
+    if (fast_method == "cholqr1_fused"
+            and 64 <= n <= cholqr._fused_n_max(policy)):
+        # FREE gate: G = Q^T Q accumulated inside the Q-writing pass
+        # (zero extra HBM traffic, +gram MXU passes hidden under the
+        # pass's HBM bound)
+        q_f, r_f, g_f = cholqr.cholqr1_fused(a, pmode,
+                                             return_qgram=True)
+        orth_f = jnp.linalg.norm(g_f - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+    else:
+        q_f, r_f = cholqr.fastqr(a, pmode, method=fast_method,
+                                 variant=fast_variant)
+        orth_f = _gate_orth(q_f)
+    ok = orth_f < tol  # False for NaN: falls through
 
     def householder(_):
         q, r = blockqr.qr(a, policy, reorth=reorth, impl=impl,

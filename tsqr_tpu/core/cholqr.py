@@ -134,14 +134,21 @@ def _fused_n_max(policy: modes.Policy) -> int:
 def cholqr1_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "bf16",
                   interpret: bool = False,
-                  inplace: bool = False) -> tuple[Array, Array]:
+                  inplace: bool = False,
+                  return_qgram: bool = False):
     """Single-pass CholeskyQR on the streaming kernels: the HBM-minimal
     QR — one read of A (Gram), one read + one write (Q pass).  With bf16
     IO that is 8mn bytes total for the whole factorization.
 
     inplace=True writes Q over A's buffer (requires io_dtype == a.dtype;
     use via ``fastqr_inplace`` so the input is donated): peak HBM is A
-    alone, which admits M=2^25 x N=128 bf16 on a 16 GB chip."""
+    alone, which admits M=2^25 x N=128 bf16 on a 16 GB chip.
+
+    return_qgram=True (fused range only) additionally returns G = Q^T Q,
+    accumulated IN the Q-writing pass (the Kahan half-Gram of the
+    in-VMEM post-dot chunk — zero extra HBM traffic): the free
+    self-validation gate for the auto ladder (core/auto.qr_auto_fused).
+    Returns (q, r, g)."""
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
@@ -150,12 +157,13 @@ def cholqr1_fused(a: Array,
             f"inplace requires io_dtype == a.dtype, got {policy.io_dtype} "
             f"vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
-        if inplace:
-            # the XLA fallback cannot honor the peak-HBM ~A contract —
-            # silently degrading would OOM exactly at capacity shapes
+        if inplace or return_qgram:
+            # the XLA fallback can honor neither the peak-HBM ~A
+            # contract nor the free fused gate
             raise ValueError(
-                f"inplace requires 64 <= n <= {_fused_n_max(policy)} "
-                f"(the fused-kernel range), got n={a.shape[1]}")
+                f"inplace/return_qgram require 64 <= n <= "
+                f"{_fused_n_max(policy)} (the fused-kernel range), got "
+                f"n={a.shape[1]}")
         # narrow: lane-tile waste; wide: VMEM (see _fused_n_max) — XLA
         # variant either way
         return cholqr1(a, mode)
@@ -165,6 +173,13 @@ def cholqr1_fused(a: Array,
         a = a.astype(jnp.float32)
     g = pallas_gram.gram_pallas(a, mname, interpret=interpret)
     r = _chol_r(g)
+    if return_qgram:
+        q, p = pallas_gram.stream_pallas(a, (_rinv(r),), (mname,),
+                                         write_q=True, gram_mode=mname,
+                                         interpret=interpret,
+                                         out_dtype=policy.io_dtype,
+                                         alias_q=inplace)
+        return q, jnp.triu(r).astype(policy.io_dtype), p + p.T
     q = pallas_gram.stream_pallas(a, (_rinv(r),), (mname,), write_q=True,
                                   interpret=interpret,
                                   out_dtype=policy.io_dtype,

@@ -112,6 +112,7 @@ def sweep(m: int = 1 << 20,
               ("bf16x6_cor", "cholqr2_fused", "turbo"),
               ("bf16x6_cor", "cholqr1_fused", "safe"),
               ("bf16x6_cor", "cholqr3_fused", "safe"),
+              ("bf16x6_cor", "cholqr3_fused", "compact"),
           ),
           out: IO = sys.stdout) -> list[dict]:
     print(CSV_HEADER, file=out, flush=True)
