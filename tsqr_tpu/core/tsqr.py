@@ -44,6 +44,29 @@ DEFAULT_LEAF_ROWS = 2048
 DEFAULT_FANIN = 8
 DEFAULT_BLOCK = 24
 
+# Above this many leaf elements (m_pad * n), the leaf QR and the layer-0
+# backward product run as a sequential lax.map over leaf chunks of
+# ~LEAF_CHUNK_ELEMS instead of one whole-batch vmap.  The blocked
+# Householder leaf holds ~9 live panel-sized f32 temps (r, y_all, q, WY
+# products, corrected-mode bf16 splits); at m=2^22 x 128 that is ~18 GB —
+# past the v5e's 15.75 GB HBM (measured compile-time OOM) — while the
+# chunked form bounds the live temps at ~9 * LEAF_CHUNK_ELEMS * 4 B
+# (~2.3 GB) for the same math.  Below the threshold nothing changes (the
+# whole-batch form compiles smaller and schedules freer).
+LEAF_SEQ_THRESHOLD = 1 << 28
+LEAF_CHUNK_ELEMS = 1 << 26
+
+
+def _leaf_chunks(bs: int, elems_per_leaf: int) -> int:
+    """Number of sequential leaf chunks (1 = whole-batch vmap)."""
+    if bs * elems_per_leaf <= LEAF_SEQ_THRESHOLD:
+        return 1
+    target = max(1, LEAF_CHUNK_ELEMS // elems_per_leaf)  # leaves per chunk
+    s = 1
+    while s < bs and bs // s > target:
+        s *= 2
+    return s
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -124,7 +147,7 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
                                              "leaf_qr", "impl", "block",
                                              "collect_level_q", "want_q",
-                                             "tree_impl"))
+                                             "tree_impl", "seq_chunks"))
 def tsqr(a: Array,
          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
          leaf_rows: int = DEFAULT_LEAF_ROWS,
@@ -134,7 +157,8 @@ def tsqr(a: Array,
          block: int = DEFAULT_BLOCK,
          collect_level_q: bool = False,
          want_q: bool = True,
-         tree_impl: str = "jnp"):
+         tree_impl: str = "jnp",
+         seq_chunks: int | None = None):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 
     ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
@@ -160,6 +184,13 @@ def tsqr(a: Array,
         whole-tree-with-sb-leaves program that killed the tunnel's
         remote-compile helper carried exactly those extra
         instantiations.  ``impl`` now selects the LEAF kernel only.
+      seq_chunks: sequential leaf-chunk count for the m-scale stages
+        (leaf QR + layer-0 backward product), run as a ``lax.map`` so
+        only one chunk's temporaries are live at a time.  None (default)
+        auto-selects: 1 below LEAF_SEQ_THRESHOLD elements, else enough
+        chunks to bound live leaf temps near LEAF_CHUNK_ELEMS — this is
+        what lets the Householder tree (and the auto ladder's tier-3
+        branch) fit HBM at m = 2^22 x 128 and beyond.
       want_q: False compiles the forward-only (compute-R) program — the
         backward Q reconstruction (and any leaf Q build it alone consumes)
         is absent from the fused graph, returning (None, R).  This is both
@@ -191,8 +222,18 @@ def tsqr(a: Array,
 
     # ---- forward: leaf QR then R-reduction tree (≙ tsqr.cu:1102-1172) ----
     leaves = a.reshape(bs, L, n)
-    q0, r = leaf_qr(leaves)
-    q0 = q0.astype(policy.work_dtype)
+    seq = _leaf_chunks(bs, L * n) if seq_chunks is None else seq_chunks
+    if seq > 1 and bs % seq == 0:
+        def _leaf_step(x):
+            qc, rc = leaf_qr(x)
+            return qc.astype(policy.work_dtype), rc
+        q0, r = jax.lax.map(_leaf_step, leaves.reshape(seq, bs // seq, L, n))
+        q0 = q0.reshape(bs, L, n)
+        r = r.reshape(bs, *r.shape[2:])
+    else:
+        seq = 1
+        q0, r = leaf_qr(leaves)
+        q0 = q0.astype(policy.work_dtype)
 
     qs: list[Array] = []
     widths: list[int] = []
@@ -218,7 +259,13 @@ def tsqr(a: Array,
     for qk, f in zip(reversed(qs[:-1]), reversed(widths[:-1])):
         prod = mm(qk.astype(jnp.float32), c)          # (bk, f*n, n)
         c = prod.reshape(prod.shape[0] * f, n, n)
-    q = mm(q0.astype(jnp.float32), c)                 # (bs, L, n)
+    if seq > 1:
+        q = jax.lax.map(
+            lambda t: mm(t[0].astype(jnp.float32), t[1]),
+            (q0.reshape(seq, bs // seq, L, n),
+             c.reshape(seq, bs // seq, n, n)))
+    else:
+        q = mm(q0.astype(jnp.float32), c)             # (bs, L, n)
     q = q.reshape(m_pad, n)[:m]
     if collect_level_q:
         return (q.astype(policy.io_dtype), r_out.astype(policy.io_dtype),
