@@ -5,23 +5,30 @@ Prints ONE JSON line:
   {"metric": "qr_auto_bf16x6_cor_tflops", "value": <TFLOP/s>,
    "unit": "TFLOP/s", "vs_baseline": <speedup over jnp.linalg.qr>}
 
-Config: M=2^22 (falls back to 2^21/2^20 if the chip's HBM is contended),
-N=128 (BASELINE.md target shape), bf16x6_cor — the reference's headline
-fp32_tc_cor accuracy class.
+Config: M=2^21 with K=4 distinct resident inputs (falls back to 2^20/K=6
+if the chip's HBM is contended), N=128 (BASELINE.md target shape),
+bf16x6_cor — the reference's headline fp32_tc_cor accuracy class.
 
-The measured program is the 3-tier self-validating LADDER
-(core/auto.qr_auto_fused): single-pass corrected CholeskyQR, an
-in-program Kahan-accurate orthogonality gate, the robust shifted
-CholeskyQR3 recompute pipeline (kappa <~ 1e4, measured flat 1.6e-7
-through kappa=2^14 on-chip), a second gate, and the unconditional
-Householder BlockQR tree — ONE jitted program with `lax.cond` executing
-only the tiers the input actually needs.  Unlike round 2's bench (bare
-cholqr1, valid only because uniform random A has kappa ~ 2), this number
-carries NO kappa caveat: any input gets corrected-grade output, and the
-gate cost is INCLUDED in the measured time.  Accuracy is asserted
-(fp32-grade orthogonality), not just timed.  Timing amortizes the
-~30 ms tunnel dispatch by chaining iterations inside one jit
-(utils/timing.py).
+The measured program is the 3-tier PREDICTIVE ladder
+(core/auto.qr_auto_fused): a shared streaming Gram whose Cholesky yields
+both tier-1's factor and a rigorous kappa^2(A) upper bound (inf-norms of
+the PSD G and G^-1 dominate the spectral norms), the robust shifted
+CholeskyQR3 recompute pipeline reusing that Gram (kappa <~ 1e4, measured
+flat 1.6e-7 through kappa=2^14 on-chip) with a free in-pass measured
+orthogonality gate, and the unconditional Householder BlockQR tree — ONE
+jitted program with `lax.cond` executing only the tiers the input
+needs.  Unlike round 2's bench (bare cholqr1, valid only because uniform
+random A has kappa ~ 2), this number carries NO kappa caveat: any input
+gets corrected-grade output, and all gate costs are INCLUDED in the
+measured time (ladder overhead over bare cholqr1_fused: 0.27 ms at
+2^20 x 128, measured).  Accuracy is asserted (fp32-grade
+orthogonality), not just timed.
+
+Timing uses the distinct-inputs chain (timing.time_fn_distinct): the
+dus-carry chain mis-measures `lax.cond` programs (work elided through
+the cond — a 4.2 ms reading against an ~8 ms HBM floor, measured), so
+the ladder is timed over K pre-generated distinct inputs unrolled in
+one jit, minus a null chain — elision-proof and dispatch-amortized.
 """
 
 import gc
@@ -36,13 +43,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(m: int, n: int) -> dict:
+def run(m: int, n: int, k: int) -> dict:
     from tsqr_tpu.core import auto
     from tsqr_tpu.harness import flops as flops_mod
     from tsqr_tpu.utils import timing
 
     mode = "bf16x6_cor"
-    a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
+    keys = jax.random.split(jax.random.PRNGKey(0), k)
+    xs = tuple(jax.random.uniform(kk, (m, n), jnp.float32, -1, 1)
+               for kk in keys)
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -57,22 +66,23 @@ def run(m: int, n: int) -> dict:
     # with the Kahan-compensated streaming Gram (a naive fp32 device Gram
     # adds ~sqrt(m)*eps of measurement error — 3e-4 at m=2^22).
     from tsqr_tpu.utils import validation
-    q, r = qr_fn(a)
+    q, r = qr_fn(xs[0])
     orth = validation.orthogonality_accurate(q)
     acc_ok = bool(np.isfinite(orth) and orth < 1e-5)
     del q, r
     gc.collect()
-    print(f"bench: m=2^{m.bit_length()-1} n={n} orth={orth:.2e}",
+    print(f"bench: m=2^{m.bit_length()-1} n={n} K={k} orth={orth:.2e}",
           file=sys.stderr, flush=True)
 
-    t = timing.time_fn_amortized(qr_fn, a, loops=8, reps=3)
+    t = timing.time_fn_distinct(qr_fn, xs, reps=3)
     fl = flops_mod.qr_flops(m, n)  # useful QR flops, not method flops
     tflops = fl / t / 1e12
     print(f"bench: ours t={t*1e3:.2f} ms tflops={tflops:.2f}",
           file=sys.stderr, flush=True)
     gc.collect()
 
-    t_base = timing.time_fn_amortized(jnp.linalg.qr, a, loops=2, reps=2)
+    t_base = timing.time_fn_amortized(jnp.linalg.qr, xs[0], loops=2,
+                                      reps=2)
     print(f"bench: jnp.linalg.qr t={t_base*1e3:.2f} ms", file=sys.stderr,
           flush=True)
 
@@ -85,23 +95,32 @@ def run(m: int, n: int) -> dict:
 
 
 def main():
-    result = None
-    last_err = None
-    for m in (1 << 22, 1 << 21, 1 << 20):
-        try:
-            result = run(m, 128)
-            break
-        except Exception as e:
-            last_err = e
-            print(f"bench: m={m} failed ({type(e).__name__}: "
-                  f"{str(e)[:160]}); retrying smaller", file=sys.stderr,
-                  flush=True)
-            gc.collect()
-    if result is None:
-        print("bench: every fallback size failed", file=sys.stderr,
+    # a device OOM POISONS the process (every later allocation fails —
+    # CLAUDE.md), so each fallback config must run in a FRESH process:
+    # the parent spawns itself with --single until one config succeeds.
+    if "--single" in sys.argv:
+        i = sys.argv.index("--single")
+        m, k = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        print(json.dumps(run(m, 128, k)))
+        return
+
+    import subprocess
+    last = None
+    for m, k in ((1 << 21, 4), (1 << 20, 6), (1 << 20, 3)):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single",
+             str(m), str(k)],
+            capture_output=True, text=True, timeout=3600)
+        sys.stderr.write(p.stderr)
+        if p.returncode == 0 and p.stdout.strip():
+            print(p.stdout.strip().splitlines()[-1])
+            return
+        last = p
+        print(f"bench: m={m} K={k} failed (rc={p.returncode}); "
+              f"retrying smaller in a fresh process", file=sys.stderr,
               flush=True)
-        raise last_err
-    print(json.dumps(result))
+    print("bench: every fallback size failed", file=sys.stderr, flush=True)
+    sys.exit(last.returncode if last else 1)
 
 
 if __name__ == "__main__":

@@ -29,9 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tsqr_tpu.utils import timing
 
 
+_CSV = None  # set in main(): data/bw.csv
+
+
 def _report(name, nbytes, t, loops):
-    print(f"{name}: t={t*1e3:.3f} ms  bw={nbytes/t/1e9:.1f} GB/s  "
+    bw = nbytes / t / 1e9
+    print(f"{name}: t={t*1e3:.3f} ms  bw={bw:.1f} GB/s  "
           f"(loops={loops})", flush=True)
+    if _CSV is not None:
+        _CSV.write(f"{name.replace(' ', '_')},{t:.6e},{bw:.1f},{loops}\n")
+        _CSV.flush()
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "arbitrary"))
@@ -84,7 +91,10 @@ def copy_kernel(a, chunk=4096):
 
 
 def main():
+    global _CSV
     quick = "--quick" in sys.argv
+    _CSV = open(ROOT / "data" / "bw.csv", "w")
+    _CSV.write("probe,elapsed_time,gbps,loops\n")
     m, n = (1 << 21, 128) if quick else (1 << 22, 128)
     key = jax.random.PRNGKey(0)
     a32 = jax.random.uniform(key, (m, n), jnp.float32, -1, 1)

@@ -88,50 +88,106 @@ def robust():
             x, "bf16x6_cor", method="cholqr3_fused"))
         row(f, "cholqr3_fused[x6/compact]", lambda x: cholqr.fastqr(
             x, "bf16x6_cor", method="cholqr3_fused", variant="compact"))
-        # the gate alone: fast tier + in-program orthogonality check
-        row(f, "ladder2[fast+gate+compact]", lambda x: auto.qr_auto_fused(
-            x, "bf16x6_cor", fast_method="cholqr1_fused",
-            mid_method="cholqr3_fused", mid_variant="compact",
-            leaf_rows=8192))
+        # the PREDICTIVE ladder (cond program: the dus chain mis-measures
+        # it — use the distinct-inputs chain at 2^21 x K=4; HBM cannot
+        # hold K distinct 2^22 inputs next to the untaken Householder
+        # branch's buffers)
+        try:
+            m_l, k_l = 1 << 21, 4
+            keys = jax.random.split(jax.random.PRNGKey(0), k_l)
+            xs = tuple(jax.random.uniform(kk, (m_l, n), jnp.float32,
+                                          -1, 1) for kk in keys)
+            lfn = lambda x: auto.qr_auto_fused(  # noqa: E731
+                x, "bf16x6_cor", fast_method="cholqr1_fused",
+                mid_method="cholqr3_fused", mid_variant="compact")
+            q, r = jax.jit(lfn)(xs[0])
+            orth = validation.orthogonality_accurate(q)
+            del q, r
+            t = timing.time_fn_distinct(lfn, xs, reps=3)
+            ufl = flops_mod.qr_flops(m_l, n)
+            f.write(f"ladder[pred/x6],{m_l},{n},{t:.6e},"
+                    f"{ufl/t/1e12:.3f},{orth:.3e},distinct_k={k_l}\n")
+            # bare tier-1 method under the SAME harness: the ladder's
+            # measured overhead is the difference
+            bfn = lambda x: cholqr.fastqr(  # noqa: E731
+                x, "bf16x6_cor", method="cholqr1_fused")
+            t_b = timing.time_fn_distinct(bfn, xs, reps=3)
+            f.write(f"cholqr1_fused[x6/distinct],{m_l},{n},{t_b:.6e},"
+                    f"{ufl/t_b/1e12:.3f},,distinct_k={k_l}\n")
+        except Exception as e:
+            f.write(f"# error ladder[pred/x6]: {exc_note(e)}\n")
+        f.flush()
 
 
 def ladder():
+    """Decision boundary of the PREDICTIVE ladder (VERDICT r2 item 8).
+
+    For latms inputs across kappa, records the tier-0 kappa^2 estimate
+    (the inf-norm bound that drives the tier-1 gate), the tier the
+    ladder lands in (recomputed from the gate math on host), and the
+    end-to-end ladder accuracy + time per kappa."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from tsqr_tpu import modes
     from tsqr_tpu.core import auto, cholqr
+    from tsqr_tpu.ops import pallas_gram
     from tsqr_tpu.utils import latms, timing, validation
 
     m, n = 1 << 20, 128
+    mode = "bf16x6_cor"
+    policy = modes.resolve(mode)
+    tol = auto._TOL[policy.mode]
+    eps = auto._EPS_GATE[policy.mode]
+    k2max1 = auto._kappa2_max("cholqr1", eps, tol)
 
     def fn(x):
-        return auto.qr_auto_fused(x, "bf16x6_cor",
-                                  fast_method="cholqr1_fused",
+        return auto.qr_auto_fused(x, mode, fast_method="cholqr1_fused",
                                   mid_method="cholqr3_fused",
-                                  mid_variant="compact", leaf_rows=8192)
+                                  mid_variant="compact")
+
+    @jax.jit
+    def gates(x):
+        # tier-0 math, exactly as qr_auto_fused computes it
+        g = pallas_gram.gram_pallas(x, mode)
+        g = (g + g.T) * 0.5
+        r1 = cholqr._chol_r(g, shift=None)
+        rinv1 = cholqr._rinv(r1)
+        minv = modes.mm_fp32(rinv1, rinv1.T)
+        k2 = (auto._inf_norm11(g) * auto._inf_norm11(minv)).reshape(())
+        # tier-2's measured gate input
+        q_m, r_m, gq = cholqr.cholqr3_fused(x, mode, variant="compact",
+                                            g1=g, return_qgram=True)
+        orth_m = jnp.linalg.norm(gq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+        return k2, orth_m
 
     with open(DATA / "ladder.csv", "w") as f:
-        f.write("kappa_target,kappa_measured,m,n,tier,orthogonality,"
-                "residual,elapsed_time\n")
-        for k in range(0, 16, 2):
+        f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
+                "orthogonality,residual,elapsed_time\n")
+        for k in range(0, 17, 2):
             try:
-                key = jax.random.PRNGKey(100 + k)
-                a, meas = latms.rand_matrix_with_cond(key, m, n,
-                                                      float(2 ** k))
+                xs, meas = [], 0.0
+                for j in range(3):  # distinct draws for the timing chain
+                    key = jax.random.PRNGKey(100 + k + 1000 * j)
+                    x, mj = latms.rand_matrix_with_cond(key, m, n,
+                                                        float(2 ** k))
+                    xs.append(x)
+                    meas = max(meas, mj)
+                a = xs[0]
+                k2, orth_m = (float(v) for v in gates(a))
+                tier = ("fast" if np.isfinite(k2) and k2 < k2max1
+                        else "robust" if np.isfinite(orth_m)
+                        and orth_m < tol else "householder")
                 q, r = jax.jit(fn)(a)
                 orth = validation.orthogonality_accurate(q)
                 resid = float(validation.residual_device_chunked(a, q, r))
-                # infer the tier from the per-method gates
-                q1, _ = jax.jit(lambda x: cholqr.fastqr(
-                    x, "bf16x6_cor", method="cholqr1_fused"))(a)
-                o1 = validation.orthogonality_accurate(q1)
-                del q1
-                tier = ("fast" if np.isfinite(o1) and o1 < 1e-5
-                        else "mid_or_hh")
-                t, _ = timing.time_fn_amortized_auto(fn, a, reps=2)
-                f.write(f"{2**k},{meas:.6g},{m},{n},{tier},{orth:.3e},"
-                        f"{resid:.3e},{t:.6e}\n")
-                del a, q, r
+                del q, r
+                # cond program: the distinct-inputs chain is the only
+                # sound amortized timing (see timing.time_fn_distinct)
+                t = timing.time_fn_distinct(fn, tuple(xs), reps=2)
+                f.write(f"{2**k},{meas:.6g},{m},{n},{k2:.4g},{tier},"
+                        f"{orth:.3e},{resid:.3e},{t:.6e}\n")
+                del a, xs
             except Exception as e:
                 f.write(f"# error kappa=2^{k}: {exc_note(e)}\n")
             f.flush()

@@ -117,3 +117,43 @@ def test_auto_fused_robust_branch():
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(np.asarray(a), q,
                                np.asarray(r, np.float64)) < 1e-4
+
+
+@pytest.mark.parametrize("kappa,want_tol", [(1.0, 1e-6), (1e4, 1e-6),
+                                            (1e7, 1e-6)])
+def test_predictive_ladder_three_regimes(kappa, want_tol):
+    # the full 3-tier predictive ladder (cholqr1 -> cholqr3 -> the
+    # Householder tree) must deliver fp32-grade orthogonality at every
+    # conditioning regime — kappa ~ 1 lands tier 1, ~1e4 tier 2 (within
+    # shifted-CholeskyQR3 coverage), ~1e7 tier 3
+    if kappa == 1.0:
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.uniform(-1, 1, (4096, 96)).astype(np.float32))
+    else:
+        a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(int(kappa)),
+                                           4096, 96, kappa)
+    q, r = auto.qr_auto_fused(a, "fp32", fast_method="cholqr1",
+                              mid_method="cholqr3", mid_variant="safe",
+                              leaf_rows=512)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert validation.orthogonality(q64) < want_tol
+    assert np.allclose(np.triu(r64), r64)
+    assert validation.residual(np.asarray(a), q64, r64) < 1e-4
+
+
+def test_predictive_kappa2_estimate_dominates():
+    # the tier-0 inf-norm bound must never under-report kappa_2(A)^2
+    # (the PSD inf-norm >= spectral-norm argument in qr_auto_fused's
+    # docstring) — checked across the latms kappa range
+    from tsqr_tpu import modes
+    from tsqr_tpu.core import cholqr
+
+    for k, kappa in ((10, 10.0), (11, 1e2), (12, 1e3)):
+        a, measured = latms.rand_matrix_with_cond(jax.random.PRNGKey(k),
+                                                  2048, 64, kappa)
+        g = modes.gram(a.astype(jnp.float32), modes.resolve("fp32"))
+        g = (g + g.T) * 0.5
+        rinv1 = cholqr._rinv(cholqr._chol_r(g, shift=None))
+        minv = modes.mm_fp32(rinv1, rinv1.T)
+        est = float((auto._inf_norm11(g) * auto._inf_norm11(minv))[0, 0])
+        assert est > 0.95 * measured ** 2

@@ -126,6 +126,41 @@ def test_cholqr3_compact_compiled_accuracy():
     assert np.isfinite(orth) and orth < 1e-6
 
 
+def test_cholqr3_compact_ladder_hooks_compiled():
+    # g1 reuse + free in-pass Q-Gram gate must reproduce the plain
+    # compact pipeline bitwise (same passes, same factors) and the
+    # in-pass gate must agree with the accurate external measurement
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.ops import pallas_gram
+    from tsqr_tpu.utils import validation
+    a = _rand(1 << 18, 128, seed=8)
+    g = pallas_gram.gram_pallas(a, "bf16x6_cor")
+    g = (g + g.T) * 0.5
+    q0, r0 = cholqr.cholqr3_fused(a, "bf16x6_cor", variant="compact",
+                                  g1=g)
+    q1, r1, gq = cholqr.cholqr3_fused(a, "bf16x6_cor", variant="compact",
+                                      g1=g, return_qgram=True)
+    assert float(jnp.max(jnp.abs(q0 - q1))) == 0.0
+    assert float(jnp.max(jnp.abs(r0 - r1))) == 0.0
+    gate = float(jnp.linalg.norm(gq - jnp.eye(128)) / np.sqrt(128.0))
+    true = validation.orthogonality_accurate(q1)
+    assert np.isfinite(gate) and abs(gate - true) < 3e-8
+
+
+def test_predictive_ladder_compiled():
+    # the production 3-tier predictive ladder in ONE program on the
+    # chip; tier-1 output must be bitwise the bare cholqr1_fused result
+    from tsqr_tpu.core import auto, cholqr
+    a = _rand(1 << 18, 128, seed=11)
+    q, r = auto.qr_auto_fused(a, "bf16x6_cor",
+                              fast_method="cholqr1_fused",
+                              mid_method="cholqr3_fused",
+                              mid_variant="compact")
+    qb, rb = cholqr.fastqr(a, "bf16x6_cor", method="cholqr1_fused")
+    assert float(jnp.max(jnp.abs(q - qb))) == 0.0
+    assert float(jnp.max(jnp.abs(r - rb))) == 0.0
+
+
 def test_whole_tree_sb_leaves_compiled():
     # the round-2 blocker: the FULL fused TSQR tree with sublane-batched
     # Pallas leaves in one program on the chip (tsqr.cu:1064-1279 is the

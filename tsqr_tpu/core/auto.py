@@ -108,77 +108,163 @@ def _gate_orth(q: Array) -> Array:
     return validation.orthogonality_wide_device(q)
 
 
+# Effective Gram/apply epsilon per mode for the PREDICTIVE tier-1 gate:
+# cholqr1's orthogonality is ~ c * kappa(A)^2 * eps_gate, so the gate
+# admits tier 1 when kappa2_est * eps_gate * _SAFETY < tol.  Values are
+# the measured orthogonality floors of each mode's Gram arithmetic
+# (data/cond.csv flat levels; emu modes mirror what they emulate).
+_EPS_GATE = {
+    modes.ComputeMode.FP32: 6e-8,
+    modes.ComputeMode.BF16X6_COR: 6e-8,
+    modes.ComputeMode.BF16X3_COR: 3e-7,
+    modes.ComputeMode.BF16X3_NOCOR: 3e-6,
+    modes.ComputeMode.BF16: 4e-3,
+    modes.ComputeMode.BF16_NOCOR: 4e-3,
+    modes.ComputeMode.BF16_NOCOR_EMU: 4e-3,
+    modes.ComputeMode.TF32_NOCOR_EMU: 3e-6,
+    modes.ComputeMode.BF16X3_COR_EMU: 3e-7,
+    modes.ComputeMode.MIXED_COR_EMU: 3e-6,
+}
+_SAFETY = 8.0  # covers the O(1) constant in orth ~ c * kappa^2 * eps
+
+
+def _kappa2_max(base_method: str, eps: float, tol: float) -> float:
+    """Predictive tier-1 admission threshold on the kappa^2(A) estimate.
+
+    cholqr1: orthogonality-driven (orth ~ kappa^2 eps must beat tol).
+    cholqr2: breakdown-driven (needs kappa^2 eps << 1 for Gram #2's
+      Cholesky; 0.1 budget, conservative vs the ~4e3 fp32 contract).
+    cholqr3: the shifted pass contracts kappa ~5x first (module
+      docstring), extending coverage 25x over cholqr2; capped at kappa
+      = 1e4 (measured-flat region ends ~2e4, data/cond.csv).
+    """
+    if base_method == "cholqr1":
+        return tol / (eps * _SAFETY)
+    if base_method == "cholqr2":
+        return 0.1 / eps
+    return min(1e8, 2.5 / eps)
+
+
+def _inf_norm11(x: Array) -> Array:
+    # (1, 1)-shaped, not rank-0 (see cholqr._shift_value: any rank-0 in
+    # the value chain stalls the downstream pipeline on TPU)
+    return jnp.max(jnp.sum(jnp.abs(x), axis=1), keepdims=True)[None]
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
                                              "fast_variant", "mid_method",
                                              "mid_variant", "impl",
                                              "leaf_rows", "fanin", "reorth"))
 def qr_auto_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
-                  fast_method: str = "cholqr3_fused",
+                  fast_method: str = "cholqr1_fused",
                   fast_variant: str = "safe",
-                  mid_method: str | None = None,
+                  mid_method: str | None = "cholqr3_fused",
                   mid_variant: str = "compact",
                   impl: str = "jnp",
                   leaf_rows: int = 2048,
                   fanin: int = 8,
                   reorth: bool = True) -> tuple[Array, Array]:
-    """Self-validating QR as ONE fused XLA program: zero host round-trips.
+    """Self-validating QR as ONE fused XLA program: the PREDICTIVE ladder.
 
-    :func:`qr_auto` dispatches twice (fast path, host fetch of the
-    orthogonality scalar, maybe robust path).  Here the fast CholeskyQR,
-    the accurate on-device orthogonality gate (:func:`_gate_orth` —
-    measurement error independent of m), and the fallbacks live inside
-    one jit; XLA's ``lax.cond`` executes an expensive branch only when
-    the gate fails at runtime.  NaNs from a failed Cholesky also trip
-    the gate (orth is NaN -> the comparison is False -> fall through).
+    Tier 0 (shared, ~1 HBM pass): stream the Gram G = A^T A, Cholesky it,
+    and bound kappa(A)^2 by ||G||_inf * ||(R1^T R1)^-1||_inf.  For
+    symmetric PSD matrices the inf-norm DOMINATES the spectral norm
+    (||G||_inf >= ||G||_2 via ||G||_2^2 <= ||G||_1 ||G||_inf and
+    symmetry), so the estimate NEVER under-reports kappa_2(A)^2 — the
+    gate errs only toward the safer tier.  A failed Cholesky yields NaN
+    -> every gate is False -> the ladder falls through to Householder.
 
-    With ``mid_method`` set (e.g. "cholqr3_fused"/"compact"), the driver
-    is a 3-tier LADDER: fast path (e.g. single-pass CholeskyQR — kappa
-    <~ 10 at corrected grade), then the robust Gram pipeline (kappa <~
-    1e4), then the unconditional Householder BlockQR tree.  Each tier
-    pays its gate only if the previous tier failed, so the
-    well-conditioned common case runs at tier-1 speed + ONE gate — this
-    is the no-kappa-caveat headline configuration (bench.py).
+    Tier 1 (fast): gate kappa2_est * eps_mode * safety < tol *before any
+    Q exists*; the branch then finishes the method (for cholqr1 that is
+    the single remaining Q-writing pass reusing R1 — the whole ladder
+    costs one (n, n) Cholesky + inf-norms over bare cholqr1_fused,
+    measured ~1 ms at 2^22 x 128 on v5e).  Computing Q *inside* the
+    branch is the load-bearing design point: a Q computed outside a
+    ``lax.cond`` pays output-buffer copies (+12.7 ms measured) even when
+    the other branch is untaken.
 
-    The untaken branches cost compile time (all tiers are traced) but
-    run only on inputs that actually defeated the faster methods.
+    Tier 2 (robust): shifted CholeskyQR3 recompute pipeline REUSING the
+    shared tier-0 Gram (4 HBM passes, kappa <~ 1e4), self-measured by a
+    free in-pass Q-Gram gate (cholqr3_fused(return_qgram=True)).
+
+    Tier 3 (unconditional): Householder BlockQR tree.
+
+    The result carries NO kappa caveat: tier-2's gate is a measured
+    orthogonality, so any input that defeats the Gram methods lands on
+    the reflector path.  Untaken branches cost compile time only.
     """
     policy = modes.resolve(mode)
     tol = _TOL.get(policy.mode, 1e-4)
+    eps = _EPS_GATE.get(policy.mode, 1e-6)
     pmode = mode if isinstance(mode, modes.Policy) else policy.mode.value
+    io = policy.io_dtype
 
     n = a.shape[1]
-    if (fast_method == "cholqr1_fused"
-            and 64 <= n <= cholqr._fused_n_max(policy)):
-        # FREE gate: G = Q^T Q accumulated inside the Q-writing pass
-        # (zero extra HBM traffic, +gram MXU passes hidden under the
-        # pass's HBM bound)
-        q_f, r_f, g_f = cholqr.cholqr1_fused(a, pmode,
-                                             return_qgram=True)
-        orth_f = jnp.linalg.norm(g_f - jnp.eye(n)) / jnp.sqrt(n * 1.0)
-    else:
-        q_f, r_f = cholqr.fastqr(a, pmode, method=fast_method,
-                                 variant=fast_variant)
-        orth_f = _gate_orth(q_f)
-    ok = orth_f < tol  # False for NaN: falls through
+    fused = (fast_method.endswith("_fused")
+             and 64 <= n <= cholqr._fused_n_max(policy)
+             and jax.default_backend() == "tpu")
+    a32 = a if a.dtype in (jnp.bfloat16, jnp.float32) \
+        else a.astype(jnp.float32)
 
-    def householder(_):
+    # ---- tier 0: shared Gram + predictive kappa^2 bound (no Q yet) ----
+    if fused:
+        from tsqr_tpu.ops import pallas_gram
+        g = pallas_gram.gram_pallas(a32, policy.mode.value)
+    else:
+        g = modes.gram(a32.astype(jnp.float32), policy)
+    g = (g + g.T) * 0.5
+    r1 = cholqr._chol_r(g, shift=None)
+    rinv1 = cholqr._rinv(r1)
+    minv = modes.mm_fp32(rinv1, rinv1.T)          # (R1^T R1)^-1 = G^-1
+    kappa2_est = (_inf_norm11(g) * _inf_norm11(minv)).reshape(1, 1)
+    base = fast_method.removesuffix("_fused")
+    k2max = _kappa2_max(base, eps, tol)
+    ok1 = (kappa2_est < k2max).reshape(())        # False for NaN
+
+    def tier1(_):
+        if base == "cholqr1":
+            # finish cholqr1 from the shared factor: one Q-writing pass
+            if fused:
+                q = pallas_gram.stream_pallas(
+                    a32, (rinv1,), (policy.mode.value,), write_q=True,
+                    out_dtype=io)
+            else:
+                q = policy.mm(a32.astype(jnp.float32), rinv1)
+            return q.astype(io), jnp.triu(r1).astype(io)
+        q, r = cholqr.fastqr(a, pmode, method=fast_method,
+                             variant=fast_variant)
+        return q.astype(io), jnp.triu(r).astype(io)
+
+    def tier3(_):
         q, r = blockqr.qr(a, policy, reorth=reorth, impl=impl,
                           leaf_rows=leaf_rows, fanin=fanin)
-        return q.astype(q_f.dtype), r.astype(r_f.dtype)
+        return q.astype(io), r.astype(io)
 
-    def mid(_):
-        q_m, r_m = cholqr.fastqr(a, pmode, method=mid_method,
-                                 variant=mid_variant)
-        ok_m = _gate_orth(q_m) < tol
+    def rest(_):
+        mid_fused = (mid_method.endswith("_fused")
+                     and 64 <= n <= cholqr._fused_n_max(policy)
+                     and jax.default_backend() == "tpu")
+        if (mid_fused and mid_method == "cholqr3_fused"
+                and mid_variant == "compact"
+                and policy.mode not in cholqr._CHEAP_DOT):
+            # robust tier reusing the shared Gram; free in-pass gate
+            q_m, r_m, gq = cholqr.cholqr3_fused(
+                a32, pmode, variant="compact", g1=g, return_qgram=True)
+            orth_m = jnp.linalg.norm(gq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+        else:
+            mv = mid_variant if policy.mode not in cholqr._CHEAP_DOT \
+                else "safe"
+            try_variant = mv if mid_method.endswith("_fused") else "safe"
+            q_m, r_m = cholqr.fastqr(a, pmode, method=mid_method,
+                                     variant=try_variant)
+            orth_m = _gate_orth(q_m)
+        ok2 = orth_m < tol  # False for NaN
 
         def mid_ok(_):
-            return q_m.astype(q_f.dtype), jnp.triu(r_m).astype(r_f.dtype)
+            return q_m.astype(io), jnp.triu(r_m).astype(io)
 
-        return jax.lax.cond(ok_m, mid_ok, householder, None)
+        return jax.lax.cond(ok2, mid_ok, tier3, None)
 
-    def fast(_):
-        return q_f, jnp.triu(r_f)
-
-    fallback = mid if mid_method is not None else householder
-    return jax.lax.cond(ok, fast, fallback, None)
+    fallback = rest if mid_method is not None else tier3
+    return jax.lax.cond(ok1, tier1, fallback, None)

@@ -427,7 +427,9 @@ def cholqr3_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   interpret: bool = False,
                   variant: str = "safe",
-                  inplace: bool = False) -> tuple[Array, Array]:
+                  inplace: bool = False,
+                  g1: Array | None = None,
+                  return_qgram: bool = False):
     """Shifted CholeskyQR3 on the streaming kernels (narrow panels
     delegate to the XLA variant).  The LAST factor always uses the Delta
     trick when available — after two iterations Q2 is near-orthonormal
@@ -462,12 +464,22 @@ def cholqr3_fused(a: Array,
     un-composed full-grade dots would have cost 12 extra passes.
 
     inplace=True (compact only) writes Q over A's buffer — the robust
-    pipeline at capacity shapes; enter via ``fastqr_inplace``."""
+    pipeline at capacity shapes; enter via ``fastqr_inplace``.
+
+    Ladder hooks (compact only; used by core/auto.qr_auto_fused):
+    ``g1`` supplies a precomputed FULL-GRADE Gram of ``a`` (the ladder's
+    shared tier-0 Gram), skipping pass 1 — the robust tier then costs 4
+    HBM passes instead of 5.  ``return_qgram=True`` additionally returns
+    G = Q^T Q accumulated inside the final Q-writing pass (zero extra HBM
+    traffic — the free measured gate); the return becomes (q, r, gq)."""
     from tsqr_tpu.ops import pallas_gram
 
     policy = modes.resolve(mode)
     if variant not in ("safe", "fast", "fastest", "compact"):
         raise ValueError(f"cholqr3_fused: unknown variant {variant!r}")
+    if (g1 is not None or return_qgram) and variant != "compact":
+        raise ValueError("g1/return_qgram are compact-pipeline hooks "
+                         f"(got variant {variant!r})")
     if variant == "compact" and policy.mode in _CHEAP_DOT:
         raise ValueError(
             "cholqr3_fused: the cheap-dot modes already run a recompute "
@@ -482,14 +494,16 @@ def cholqr3_fused(a: Array,
                 f"inplace requires io_dtype == a.dtype, got "
                 f"{policy.io_dtype} vs {a.dtype}")
     if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
-        if inplace or (variant == "compact"
-                       and a.shape[1] > _fused_n_max(policy)):
-            # the XLA fallback cannot honor the A+Q-only footprint —
-            # see cholqr2_fused: no silent degradation at capacity shapes
+        if inplace or g1 is not None or return_qgram or (
+                variant == "compact"
+                and a.shape[1] > _fused_n_max(policy)):
+            # the XLA fallback cannot honor the A+Q-only footprint (nor
+            # the ladder hooks) — see cholqr2_fused: no silent
+            # degradation at capacity shapes
             raise ValueError(
-                f"variant 'compact' requires 64 <= n <= "
-                f"{_fused_n_max(policy)} (the fused-kernel range), got "
-                f"n={a.shape[1]}")
+                f"variant 'compact' (and its ladder hooks) requires 64 "
+                f"<= n <= {_fused_n_max(policy)} (the fused-kernel "
+                f"range), got n={a.shape[1]}")
         return cholqr3(a, mode)  # see _fused_n_max / cholqr1_fused notes
 
     mname = policy.mode.value
@@ -497,7 +511,8 @@ def cholqr3_fused(a: Array,
         a = a.astype(jnp.float32)
     m, n = a.shape
     g1_mode = "bf16" if variant == "fastest" else mname
-    g = pallas_gram.gram_pallas(a, g1_mode, interpret=interpret)
+    g = (g1.astype(jnp.float32) if g1 is not None
+         else pallas_gram.gram_pallas(a, g1_mode, interpret=interpret))
     chunk = pallas_gram.effective_chunk(m, n)
     r1 = _chol_r(g, shift=_shift_value_fused(g, n, chunk))
 
@@ -511,20 +526,28 @@ def cholqr3_fused(a: Array,
                                        gram_mode=mname, interpret=interpret)
         r3 = _chol_r(p3 + p3.T)
         dmode = _DELTA_MODE.get(policy.mode)
+        qg = mname if return_qgram else None
         if dmode is not None:
-            q = pallas_gram.stream_pallas(a, (f2, _delta(r3)),
-                                          (mname, dmode),
-                                          residual=(False, True),
-                                          write_q=True, interpret=interpret,
-                                          out_dtype=policy.io_dtype,
-                                          alias_q=inplace)
+            out = pallas_gram.stream_pallas(a, (f2, _delta(r3)),
+                                            (mname, dmode),
+                                            residual=(False, True),
+                                            write_q=True, gram_mode=qg,
+                                            interpret=interpret,
+                                            out_dtype=policy.io_dtype,
+                                            alias_q=inplace)
         else:
-            q = pallas_gram.stream_pallas(a, (_compose(f2, _rinv(r3)),),
-                                          (mname,), write_q=True,
-                                          interpret=interpret,
-                                          out_dtype=policy.io_dtype,
-                                          alias_q=inplace)
+            out = pallas_gram.stream_pallas(a, (_compose(f2, _rinv(r3)),),
+                                            (mname,), write_q=True,
+                                            gram_mode=qg,
+                                            interpret=interpret,
+                                            out_dtype=policy.io_dtype,
+                                            alias_q=inplace)
         r = jnp.triu(modes.mm_fp32(r3, modes.mm_fp32(r2, r1)))
+        if return_qgram:
+            q, p = out
+            return (q.astype(policy.io_dtype), r.astype(policy.io_dtype),
+                    p + p.T)
+        q = out
         return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
     if policy.mode in _CHEAP_DOT:

@@ -108,6 +108,69 @@ def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3) -> float:
     return max((t_chain - t_null) / loops, 1e-9)
 
 
+def time_fn_distinct(fn: Callable, xs: Sequence, reps: int = 3,
+                     serialize: bool = True) -> float:
+    """Seconds per call of fn over K DISTINCT resident inputs.
+
+    The dus-carry chain (time_fn_amortized) mis-measures programs that
+    contain ``lax.cond``: measured on v5e at 2^22 x 128, a predictive
+    two-branch program timed 4.2 ms against an ~8 ms HBM floor (work
+    elided through the cond), and a three-tier ladder showed +8 ms that
+    raw dispatch timing proves absent.  Here the chain is a plain
+    UNROLLED Python loop over pre-generated distinct inputs inside one
+    jit: no scan, no carry hack — CSE/LICM cannot collapse anything
+    because every call's operand is a different array, and cross-call
+    overlap is genuine pipelining.  (A scan over a stacked array does
+    the same but pays a per-iteration materialization of the sliced
+    input — +1.65 ms/loop measured at 2^20 x 128 f32.)
+
+    All K inputs stay resident in HBM: at capacity shapes size K so that
+    K * nbytes + ONE call's working set fits the chip (a device OOM
+    poisons the whole process — CLAUDE.md).  A null chain on the same
+    inputs is subtracted to remove dispatch latency.
+
+    serialize=True (default) ties each call's input to the previous
+    call's scalar through an ``optimization_barrier``, forcing the
+    scheduler to run calls back-to-back.  Without it XLA may overlap
+    calls: slightly lower time (legitimate pipelining) but K calls'
+    temporaries alive at once — measured OOM at 2^21 x 128 x K=4 where
+    the serialized chain fits comfortably.
+    """
+
+    @jax.jit
+    def chained(*xt):
+        acc = jnp.zeros((), jnp.float32)
+        for x in xt:
+            if serialize:
+                x, acc = jax.lax.optimization_barrier((x, acc))
+            out = fn(x)
+            leaves = jax.lax.optimization_barrier(
+                jax.tree_util.tree_leaves(out))
+            for leaf in leaves:
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+        return acc
+
+    @jax.jit
+    def null(*xt):
+        acc = jnp.zeros((), jnp.float32)
+        for x in xt:
+            acc = acc + x.ravel()[0].astype(jnp.float32)
+        return acc
+
+    def best_of(g):
+        float(g(*xs))  # warm-up/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(*xs))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_chain = best_of(chained)
+    t_null = best_of(null)
+    return max((t_chain - t_null) / len(xs), 1e-9)
+
+
 def time_fn_amortized_auto(fn: Callable, x, reps: int = 3,
                            min_active: float = 0.15,
                            max_loops: int = 64) -> tuple[float, int]:
