@@ -1,11 +1,13 @@
 #!/bin/bash
-# Round-3 measured-data chain: each section a fresh process (one OOM
-# cannot eat the campaign), strictly sequential (single chip).
+# Round-3 chain 2: redo the sections poisoned by a concurrent probe +
+# a transiently-broken kernel edit (robust ladder row, bigm3), then the
+# remaining campaign.  RULE (learned the hard way): nothing else may
+# touch the chip while a section runs.
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
-for sec in robust ladder bigm3; do
+for sec in robust bigm3; do
   echo "=== section $sec start $(date +%T) ==="
   timeout 7200 python -u scripts/run_round3_data.py "$sec"
   echo "=== section $sec done exit=$? $(date +%T) ==="
@@ -27,4 +29,4 @@ echo "=== cond16 start $(date +%T) ==="
 timeout 14000 python -u scripts/run_round3_data.py cond16
 echo "=== cond16 done exit=$? $(date +%T) ==="
 
-echo "=== chain_r3 complete $(date +%T) ==="
+echo "=== chain2_r3 complete $(date +%T) ==="

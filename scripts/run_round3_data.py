@@ -89,11 +89,12 @@ def robust():
         row(f, "cholqr3_fused[x6/compact]", lambda x: cholqr.fastqr(
             x, "bf16x6_cor", method="cholqr3_fused", variant="compact"))
         # the PREDICTIVE ladder (cond program: the dus chain mis-measures
-        # it — use the distinct-inputs chain at 2^21 x K=4; HBM cannot
-        # hold K distinct 2^22 inputs next to the untaken Householder
-        # branch's buffers)
+        # it — use the distinct-inputs chain).  2^20 x K=6 is the largest
+        # proven-fit config: the serialize barrier still lets XLA overlap
+        # ~2 calls, so K inputs + 2 calls' temps must fit HBM (2^21 x K=4
+        # measured OOM).
         try:
-            m_l, k_l = 1 << 21, 4
+            m_l, k_l = 1 << 20, 6
             keys = jax.random.split(jax.random.PRNGKey(0), k_l)
             xs = tuple(jax.random.uniform(kk, (m_l, n), jnp.float32,
                                           -1, 1) for kk in keys)

@@ -258,6 +258,11 @@ def stream_pallas(a: Array,
         g_ref = refs[pos] if gram_m is not None else None
         comp_ref = refs[-1] if gram_m is not None else None  # scratch
 
+        # NOTE: the f32 upcast is LOAD-BEARING even for bf16 IO + bf16
+        # mode: Mosaic rejects a NATIVE-bf16 lhs in the dim-0-contraction
+        # Gram ("Bad lhs type" on tpu.matmul, measured on v5e) — a bf16
+        # value RE-CAST from f32 compiles fine.  Do not "optimize" the
+        # round-trip away without a compiled test of the bf16-input Gram.
         x = a_ref[:, :].astype(jnp.float32)
         for r_ref, md, res in zip(r_refs, dot_ms, residual):
             y = _dot_mode(x, r_ref[:, :].astype(jnp.float32), md)
