@@ -129,3 +129,38 @@ def test_dtsqr_corrected_mode(mesh8):
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(a, q, np.asarray(r, np.float64)) < 1e-5
+
+
+@pytest.mark.parametrize("kappa", [1.0, 1e4, 3e7])
+def test_dqr_auto_predictive_ladder(mesh8, kappa):
+    # the distributed predictive ladder: replicated psum'd Gram drives a
+    # replicated kappa^2 bound, so every chip takes the same cond branch
+    # — fp32-grade orthogonality at every conditioning regime
+    from tsqr_tpu.utils import latms
+    m, n = 2048, 32
+    if kappa == 1.0:
+        a = jnp.asarray(_rand(m, n, seed=3))
+    else:
+        a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(int(kappa)),
+                                           m, n, kappa)
+    ax = jax.device_put(a, mesh_mod.row_sharding(mesh8))
+    q, r = jax.jit(lambda x: dtsqr.dqr_auto(x, mesh8, "fp32",
+                                            leaf_rows=64))(ax)
+    q64 = np.asarray(q, np.float64)
+    r64 = np.asarray(r, np.float64)
+    assert np.allclose(np.triu(r64), r64)
+    assert validation.orthogonality(q64) < 1e-5
+    assert validation.residual(np.asarray(a), q64, r64) < 1e-4
+
+
+def test_dqr_auto_fast_tier_matches_dcholqr1_math(mesh8):
+    # well-conditioned input lands tier 1 = distributed cholqr1 from the
+    # shared Gram; cross-check against a replicated-Gram reference
+    a = jnp.asarray(_rand(4096, 32, seed=4))
+    ax = jax.device_put(a, mesh_mod.row_sharding(mesh8))
+    q, r = dtsqr.dqr_auto(ax, mesh8, "fp32")
+    g = np.asarray(a, np.float64).T @ np.asarray(a, np.float64)
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-6
+    # R^T R ~ G (cholqr1's defining identity)
+    rr = np.asarray(r, np.float64)
+    assert np.linalg.norm(rr.T @ rr - g) / np.linalg.norm(g) < 1e-5

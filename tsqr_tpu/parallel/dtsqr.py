@@ -243,6 +243,103 @@ def dcholqr(a: Array, mesh: Mesh,
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
+def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
+                    n_dev: int, tol: float, eps: float,
+                    **tsqr_kw) -> tuple[Array, Array]:
+    """Per-shard PREDICTIVE ladder (the distributed core/auto design).
+
+    The tier-0 Gram psum is ALSO the kappa-estimator's input: because
+    G = psum(A_loc^T A_loc) is replicated, every chip computes the same
+    rigorous kappa^2(A) bound (PSD inf-norms dominate spectral norms —
+    see auto.qr_auto_fused) and the `lax.cond` predicate is replicated
+    by construction, so all chips take the same branch and the
+    collectives inside each branch stay globally consistent."""
+    from tsqr_tpu.core import auto, cholqr
+
+    mm = policy.mm
+    n = a_shard.shape[1]
+    k2max = auto._kappa2_max("cholqr1", eps, tol)
+
+    def gram_psum(x):
+        return lax.psum(modes.gram(x, policy), axis)
+
+    # ---- tier 0: shared psum'd Gram + predictive kappa^2 bound ----
+    g = gram_psum(a_shard)
+    g = (g + g.T) * 0.5
+    r1 = cholqr._chol_r(g, shift=None)
+    rinv1 = cholqr._rinv(r1)
+    minv = modes.mm_fp32(rinv1, rinv1.T)
+    kappa2_est = (auto._inf_norm11(g) * auto._inf_norm11(minv))
+    ok1 = (kappa2_est < k2max).reshape(())        # False for NaN
+
+    def tier1(_):
+        # finish cholqr1 from the shared factor: one local MXU pass,
+        # ZERO additional communication
+        return mm(a_shard, rinv1), jnp.triu(r1)
+
+    def tier3(_):
+        q, r = _dblockqr_shard(a_shard, policy, axis, n_dev,
+                               panel_width=n, reorth=True, **tsqr_kw)
+        return q, jnp.triu(r)
+
+    def rest(_):
+        # tier 2: shifted distributed CholeskyQR3 REUSING the shared
+        # Gram (2 more (n, n) psums + one gate psum, independent of m)
+        m_glob = a_shard.shape[0] * lax.psum(1, axis)
+        r1s = cholqr._chol_r(g, shift=cholqr._shift_value(g, m_glob, n))
+        q1 = cholqr._q_pass(a_shard, r1s, mm)
+        g2 = gram_psum(q1)
+        r2 = cholqr._chol_r(g2)
+        q2 = cholqr._q_pass(q1, r2, mm)
+        g3 = gram_psum(q2)
+        r3 = cholqr._chol_r(g3)
+        q3 = cholqr._q_pass(q2, r3, mm)
+        r_m = modes.mm_fp32(r3, modes.mm_fp32(r2, r1s))
+        # measured gate: one more (n, n) psum (the local Grams are the
+        # only m-scale cost; tier 2 already pays CholeskyQR3's passes)
+        gq = gram_psum(q3)
+        orth_m = jnp.linalg.norm(gq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+        ok2 = orth_m < tol
+
+        def mid_ok(_):
+            return q3, jnp.triu(r_m)
+
+        return lax.cond(ok2, mid_ok, tier3, None)
+
+    return lax.cond(ok1, tier1, rest, None)
+
+
+def dqr_auto(a: Array, mesh: Mesh,
+             mode: modes.ComputeMode | str | modes.Policy = "fp32",
+             axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
+    """Distributed self-validating QR: the predictive 3-tier ladder of
+    ``core/auto.qr_auto_fused`` lifted to a row-sharded mesh.  Q comes
+    back row-sharded, R (n, n) replicated; the fast tier costs ONE
+    (n, n) psum of communication, the robust tier four — independent of
+    m either way.  The static-mode reference cannot express this; it is
+    the natural composition of this library's two TPU-first ideas
+    (Gram-psum distribution + runtime self-validation)."""
+    from tsqr_tpu.core import auto
+
+    policy = modes.resolve(mode)
+    n_dev = mesh.shape[axis]
+    m, n = a.shape
+    assert m % n_dev == 0 and m // n_dev >= n
+    tol = auto._TOL.get(policy.mode, 1e-4)
+    eps = auto._EPS_GATE.get(policy.mode, 1e-6)
+
+    fn = shard_map(
+        functools.partial(_dqr_auto_shard, policy=policy, axis=axis,
+                          n_dev=n_dev, tol=tol, eps=eps, **tsqr_kw),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P()),
+        check_rep=False,
+    )
+    q, r = fn(a.astype(jnp.float32))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
 def dqr(a: Array, mesh: Mesh,
         mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
         reorth: bool = False, panel_width: int = 128,
