@@ -513,7 +513,7 @@ def cholqr3_fused(a: Array,
     g1_mode = "bf16" if variant == "fastest" else mname
     g = (g1.astype(jnp.float32) if g1 is not None
          else pallas_gram.gram_pallas(a, g1_mode, interpret=interpret))
-    chunk = pallas_gram.effective_chunk(m, n)
+    chunk = pallas_gram.effective_chunk(m, n, pallas_gram.GRAM_CHUNK)
     r1 = _chol_r(g, shift=_shift_value_fused(g, n, chunk))
 
     if variant == "compact":

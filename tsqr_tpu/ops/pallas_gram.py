@@ -52,11 +52,14 @@ from tsqr_tpu import modes
 Array = jax.Array
 
 # Streaming chunk rows per grid step.  Measured on the v5e chip
-# (data/extras.csv gram_chunk sweep, m=2^22 n=128 bf16x6_cor):
-# 512 -> 376 GB/s, 1024 -> 441, 2048 -> 492, 4096 -> 571, 8192 -> 504.
-# 4096 is the sweet spot; the per-call VMEM cap in stream_pallas shrinks
-# it automatically at wide n (chunk <= 2^20 / n).
+# (data/bw.csv, m=2^22 n=128): Q-writing passes peak at 4096 (666 GB/s
+# implied vs 654 at 8192), while Gram-only passes peak at 8192
+# (590 vs 570 for x6; 745 vs 668 for bf16 — 91 % of the 819 GB/s spec,
+# 97 % of the 773 GB/s pure-read ceiling a gridded Pallas kernel gets).
+# The per-call VMEM cap in stream_pallas shrinks either automatically at
+# wide n (chunk <= 2^20 / n).
 DEFAULT_CHUNK = 4096
+GRAM_CHUNK = 8192
 
 
 def _mode_parts(x: Array, mode: modes.ComputeMode):
@@ -333,7 +336,7 @@ def stream_pallas(a: Array,
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "chunk", "interpret"))
-def gram_pallas(a: Array, mode: str = "fp32", chunk: int = DEFAULT_CHUNK,
+def gram_pallas(a: Array, mode: str = "fp32", chunk: int = GRAM_CHUNK,
                 interpret: bool = False) -> Array:
     """G = A^T A with in-VMEM splitting: exactly one HBM read of A."""
     p = stream_pallas(a, gram_mode=modes.resolve(mode).mode.value,
