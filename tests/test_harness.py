@@ -106,3 +106,35 @@ def test_baseline_rows():
     assert row["residual"] < 1e-6
     srow = baseline.baseline_speed_row(512, 32, trials=2)
     assert srow["elapsed_time"] > 0 and srow["tflops"] > 0
+
+
+def test_accuracy_row_device_metrics_at_scale():
+    # VERDICT r2 weak #9: the metrics="device" branch (Kahan streaming
+    # orthogonality + chunked residual) never ran in CI at a size where
+    # compensation is distinguishable from naive accumulation.  At
+    # m=2^17 a naive f32 Gram measurement adds ~sqrt(m)*eps ~ 2e-5 of
+    # error; the Kahan device path must still report fp32-grade values.
+    row = accuracy.accuracy_row(1 << 17, 64, "fp32", trials=1,
+                                metrics="device", leaf_rows=2048)
+    assert np.isfinite(row["orthogonality"])
+    assert row["orthogonality"] < 1e-6  # would fail if measured naively
+    assert row["residual"] < 1e-6
+
+
+def test_mfu_row_rejects_unmodelable_config():
+    # mfu_row's pass/byte models describe the FUSED pipelines only; a
+    # non-fused or out-of-range config must raise, not print a row whose
+    # cost model describes a pipeline that never ran
+    from tsqr_tpu.harness import mfu
+    import pytest
+    with pytest.raises(ValueError):
+        mfu.mfu_row(1 << 14, 64, "fp32", "cholqr2")
+    with pytest.raises(ValueError):
+        mfu.mfu_row(1 << 14, 16, "fp32", "cholqr2_fused")
+
+
+def test_time_fn_distinct_smoke():
+    from tsqr_tpu.utils import timing
+    xs = tuple(jnp.full((256, 8), float(i)) for i in range(3))
+    t = timing.time_fn_distinct(lambda x: x * 2.0, xs, reps=2)
+    assert t > 0
