@@ -29,7 +29,8 @@ QUICK_NS = [16, 128]
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=["accuracy", "speed", "cond", "eval_q",
-                                     "baseline", "mfu", "profile"])
+                                     "baseline", "mfu", "profile",
+                                     "ladder"])
     p.add_argument("--quick", action="store_true")
     p.add_argument("--modes", nargs="*", default=MODES)
     p.add_argument("--trials", type=int, default=None)
@@ -59,6 +60,33 @@ def main(argv=None):
         from tsqr_tpu.harness import mfu
         mfu.sweep(m=(1 << 16 if args.quick else 1 << 20),
                   ns=((128,) if args.quick else (128, 256, 512, 1024, 2048)))
+    elif args.which == "ladder":
+        # reproduce the bench.py headline config interactively: the
+        # predictive 3-tier ladder at a given conditioning regime
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from tsqr_tpu.core import auto
+        from tsqr_tpu.utils import latms, validation
+        on_tpu = jax.devices()[0].platform == "tpu"
+        m, n = ((1 << 14, 64) if args.quick else (1 << 20, 128))
+        for kappa in (1.0, 1e4, 1e7):
+            if kappa == 1.0:
+                a = jax.random.uniform(jax.random.PRNGKey(0), (m, n),
+                                       jnp.float32, -1, 1)
+            else:
+                a, _ = latms.rand_matrix_with_cond(
+                    jax.random.PRNGKey(int(kappa)), m, n, kappa)
+            q, r = auto.qr_auto_fused(
+                a, "bf16x6_cor",
+                fast_method="cholqr1_fused" if on_tpu else "cholqr1",
+                mid_method="cholqr3_fused" if on_tpu else "cholqr3",
+                mid_variant="compact" if on_tpu else "safe")
+            orth = validation.orthogonality_accurate(q)
+            resid = float(validation.residual_device_chunked(a, q, r))
+            print(f"kappa={kappa:8.1e}  orthogonality={orth:.3e}  "
+                  f"residual={resid:.3e}", flush=True)
+            del a, q, r
     elif args.which == "profile":
         # ≙ MEASURE_QR_TIME + PROFILE_BREAKDOWN, printed for the default
         # headline-class shape
