@@ -18,6 +18,8 @@ occasionally); CSV rows flush as they land.  Sections:
   bigm3    re-measure the capacity rows with the round-3 kernels,
            including the ROBUST capacity config (cholqr3 compact
            inplace at M=2^24 x 128 f32).
+  perfm16  reference-protocol envelope: n=16 panels, m=2^9..2^26
+           (mk_performance_graph.py's exact axis) -> data/perf_m16.csv.
 
 Run: python scripts/run_round3_data.py <section>
 """
@@ -262,8 +264,67 @@ def bigm3():
             False)
 
 
+def perfm16():
+    """Reference-protocol m envelope: n=16 panels, m = 2^9 .. 2^26 —
+    the EXACT axis of mk_performance_graph.py:40-49 / BASELINE.md
+    (the reference benchmarks m x 16 panels; at n=16 even m=2^26 f32 is
+    4.3 GB and stays HBM-resident, so the whole envelope is measured
+    on-chip with no streaming caveat).  Rows: Householder-tree BlockQR
+    (reference semantics), fused-production CholQR2, jnp.linalg.qr
+    golden.  Appends to data/perf_m16.csv."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.harness import baseline, flops as flops_mod, speed
+    from tsqr_tpu.utils import timing
+
+    n = 16
+    ms = [1 << k for k in range(9, 27)]
+    with open(DATA / "perf_m16.csv", "w") as f:
+        print(speed.CSV_HEADER, file=f, flush=True)
+        for m in ms:
+            if m <= 1 << 24:  # tree A+Q+working set beyond this
+                for mode in ("fp32", "bf16x6_cor"):
+                    try:
+                        row = speed.speed_row(m, n, mode, trials=4,
+                                              panel_width=16,
+                                              leaf_rows=min(m, 2048))
+                        print(speed.format_row(row), file=f, flush=True)
+                        print(f"perfm16 tree m=2^{m.bit_length()-1} {mode}: "
+                              f"{row['elapsed_time']*1e3:.2f} ms",
+                              file=sys.stderr, flush=True)
+                    except Exception as e:
+                        print(f"# error tree m={m} {mode}: " + exc_note(e),
+                              file=f, flush=True)
+            try:
+                a = jax.random.uniform(jax.random.PRNGKey(0), (m, n),
+                                       jnp.float32, -1, 1)
+                fn = lambda x: cholqr.fastqr(x, "bf16x6_cor",
+                                             method="cholqr2")
+                t, loops = timing.time_fn_amortized_auto(fn, a, reps=3)
+                fl = flops_mod.qr_flops(m, n)
+                print(f"{m},{n},float32,bf16x6_cor[cholqr2],0,"
+                      f"{t:.6e},{fl/t/1e12:.4f},0", file=f, flush=True)
+                print(f"perfm16 cholqr2 m=2^{m.bit_length()-1}: "
+                      f"{t*1e3:.3f} ms", file=sys.stderr, flush=True)
+                del a
+            except Exception as e:
+                print(f"# error cholqr2 m={m}: " + exc_note(e), file=f,
+                      flush=True)
+            if m <= 1 << 24:
+                try:
+                    row = baseline.baseline_speed_row(m, n, trials=2)
+                    print(speed.format_row(row), file=f, flush=True)
+                except Exception as e:
+                    print(f"# error golden m={m}: " + exc_note(e), file=f,
+                          flush=True)
+            gc.collect()
+
+
 SECTIONS = {"cond16": cond16, "mfu": mfu, "robust": robust,
-            "ladder": ladder, "bigm3": bigm3}
+            "ladder": ladder, "bigm3": bigm3, "perfm16": perfm16}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else None

@@ -58,6 +58,70 @@ def test_ooc_bf16_cholqr1_and_streamed_metrics():
         a32, q.astype(np.float64), r.astype(np.float64))) < 1e-3
 
 
+def test_ooc_inpass_metrics_cholqr1():
+    # metrics=True must agree with the separate streamed passes (cholqr1:
+    # the in-pass residual IS ||A - QR||/||A||) without re-reading A
+    rng = np.random.default_rng(6)
+    a32 = rng.uniform(-1, 1, (4096, 64)).astype(np.float32)
+    a = a32.astype(jnp.bfloat16)
+    q, r, info = ooc.qr_out_of_core(a, "bf16", method="cholqr1",
+                                    chunk_rows=1024, metrics=True)
+    assert abs(info["orthogonality"]
+               - validation.orthogonality(q.astype(np.float64))) < 1e-3
+    assert abs(info["residual"] - validation.residual(
+        a32, q.astype(np.float64), r.astype(np.float64))) < 1e-3
+
+
+def test_ooc_inpass_metrics_inplace():
+    # the capacity posture: out=a destroys A, so in-pass metrics are the
+    # only residual evidence — and they must match a golden computed from
+    # a pre-destruction copy
+    rng = np.random.default_rng(7)
+    a32 = rng.uniform(-1, 1, (2048, 32)).astype(np.float32)
+    a = a32.copy()
+    q, r, info = ooc.qr_out_of_core(a, "fp32", method="cholqr1",
+                                    chunk_rows=512, out=a, metrics=True)
+    assert q is a
+    assert abs(info["residual"]
+               - validation.residual(a32, q, r)) < 1e-6
+    assert info["orthogonality"] < 1e-5
+
+
+def test_qr_regen_matches_materialized():
+    # the matrix-free pipeline must produce the same R and quality as the
+    # in-core method on the materialized matrix from the same generator
+    key = jax.random.PRNGKey(0)
+    m, n, chunk = 4096, 64, 1024
+    gen = ooc.uniform_gen(key, chunk, n, dtype=jnp.float32)
+    a = jnp.concatenate([gen(i) for i in range(m // chunk)], axis=0)
+    r, info = ooc.qr_regen(gen, m, n, "fp32", method="cholqr2",
+                           chunk_rows=chunk)
+    assert float(info["orthogonality"]) < 1e-6
+    assert float(info["residual"]) < 1e-6
+    # R matches a direct dense QR of the same matrix up to column signs
+    r_ref = np.linalg.qr(np.asarray(a, np.float64))[1]
+    s = np.sign(np.diag(r_ref)) * np.sign(np.diag(np.asarray(r)))
+    assert np.allclose(np.asarray(r, np.float64) * s[:, None], r_ref,
+                       rtol=0, atol=1e-3 * np.abs(r_ref).max())
+    # a consumer materializes Q chunks via info["rinv"]
+    q0 = np.asarray(gen(0) @ info["rinv"])
+    assert np.allclose(q0, np.asarray(a[:chunk] @ info["rinv"]))
+
+
+def test_qr_regen_bf16_and_cholqr3():
+    key = jax.random.PRNGKey(1)
+    m, n, chunk = 4096, 64, 512
+    gen = ooc.uniform_gen(key, chunk, n, dtype=jnp.bfloat16)
+    r, info = ooc.qr_regen(gen, m, n, "bf16", method="cholqr1",
+                           chunk_rows=chunk)
+    assert float(info["orthogonality"]) < 2e-2  # bf16 io grade
+    assert float(info["residual"]) < 2e-2
+    r3, info3 = ooc.qr_regen(gen, m, n, "bf16x6_cor", method="cholqr3",
+                             chunk_rows=chunk)
+    assert float(info3["orthogonality"]) < 1e-5
+    assert float(info3["residual"]) < 1e-5
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="capacity shape needs the real chip")
 def test_ooc_tpu_gated_smoke():
