@@ -97,6 +97,30 @@ def test_blockqr_breakdown_runs():
                                     leaf_rows=128, out=buf)
     assert res["total_s"] > 0
     assert "breakdown" in buf.getvalue()
+    # measured phases: each ablation may not cost more than the total,
+    # and the two phases + remainder reconstruct it exactly
+    assert 0 <= res["tsqr_s"] <= res["total_s"]
+    assert 0 <= res["gemm_s"] <= res["total_s"]
+    assert abs(res["tsqr_s"] + res["gemm_s"] + res["other_s"]
+               - res["total_s"]) < 1e-12
+
+
+def test_blockqr_ablation_programs_run():
+    # the _ablate profiling hooks must compile and keep output shapes
+    # (values are meaningless by design) for both loop strategies
+    import jax
+    import jax.numpy as jnp
+    from tsqr_tpu.core import blockqr
+    a = jax.random.uniform(jax.random.PRNGKey(0), (512, 96), jnp.float32,
+                           -1, 1)
+    for ablate in ("no_panel", "no_project"):
+        for loop in ("unroll", "fori"):
+            q, r = blockqr.qr(a, "fp32", panel_width=32, leaf_rows=128,
+                              loop=loop, _ablate=ablate)
+            assert q.shape == (512, 96) and r.shape == (96, 96)
+    import pytest
+    with pytest.raises(ValueError):
+        blockqr.qr(a, "fp32", _ablate="bogus")
 
 
 def test_baseline_rows():

@@ -101,7 +101,7 @@ def _panel_step(q: Array, r: Array, a_b: Array, c0, mm: Callable,
 
 @functools.partial(jax.jit, static_argnames=(
     "mode", "reorth", "panel_width", "leaf_rows", "fanin", "impl",
-    "leaf_qr", "panel_method", "loop"))
+    "leaf_qr", "panel_method", "loop", "_ablate"))
 def qr(a: Array,
        mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
        reorth: bool = False,
@@ -111,7 +111,8 @@ def qr(a: Array,
        impl: str = "jnp",
        leaf_qr: Callable | None = None,
        panel_method: str = "tsqr",
-       loop: str = "auto") -> tuple[Array, Array]:
+       loop: str = "auto",
+       _ablate: str | None = None) -> tuple[Array, Array]:
     """Thin QR of any (m, n) matrix with m >= n: returns (Q (m,n), R (n,n)).
 
     ≙ mtk::qr::qr<mode, Reorth> (blockqr.hpp:142-175).
@@ -124,7 +125,19 @@ def qr(a: Array,
 
     loop: "auto" | "unroll" | "fori" — panel-loop compilation strategy
     (see module docstring).  "auto" unrolls up to UNROLL_MAX_BLOCKS panels.
+
+    _ablate: profiling hook (harness/profile.blockqr_breakdown), the TPU
+    analogue of the reference's in-line PROFILE_BREAKDOWN instrumentation
+    compiled into blockqr.cu (6-7, 70-174).  "no_panel" replaces each
+    panel factorization with (A', I); "no_project" skips the trailing
+    projections (every panel treated like panel 0).  Either yields a
+    REAL fused program whose runtime differs from the full program by
+    exactly the ablated phase, so the breakdown is measured by
+    differencing actual XLA schedules, not by timing separately-jitted
+    phase estimates.  Output is numerically meaningless under ablation.
     """
+    if _ablate not in (None, "no_panel", "no_project"):
+        raise ValueError(f"unknown _ablate {_ablate!r}")
     policy = modes.resolve(mode)
     m, n = a.shape
     if n > m:
@@ -152,6 +165,10 @@ def qr(a: Array,
         def _tsqr(x):
             return cholqr_mod._METHODS[panel_method](x, fp32_policy)
 
+    if _ablate == "no_panel":
+        def _tsqr(x):  # noqa: F811 — profiling stand-in, see docstring
+            return x, jnp.eye(x.shape[1], dtype=x.dtype)
+
     if n <= nb:
         q, r = _tsqr(a)
         if reorth:
@@ -175,7 +192,7 @@ def qr(a: Array,
             c0 = b * nb
             w = min(nb, n - c0)
             a_b = a[:, c0:c0 + w]
-            if b == 0:
+            if b == 0 or _ablate == "no_project":
                 q_b, r22 = _tsqr(a_b)
                 if reorth:
                     q_b, w_fac = _tsqr(q_b)
@@ -206,7 +223,7 @@ def qr(a: Array,
             c0 = b * nb
             a_b = lax.dynamic_slice(a, (0, c0), (m, nb))
             return _panel_step(qc, rc, a_b, c0, mm, _tsqr, reorth,
-                               first=False)
+                               first=(_ablate == "no_project"))
 
         # panel 0 traced statically (skips the zero projections), the
         # rest share ONE traced body
@@ -215,7 +232,8 @@ def qr(a: Array,
         q, r = lax.fori_loop(1, n_full, body, (q, r))
         if w_tail:
             q, r = _panel_step(q, r, a[:, n_full * nb:], n_full * nb,
-                               mm, _tsqr, reorth, first=False)
+                               mm, _tsqr, reorth,
+                               first=(_ablate == "no_project"))
     else:
         raise ValueError(f"unknown loop strategy {loop!r}")
 

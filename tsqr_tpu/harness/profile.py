@@ -26,41 +26,45 @@ from tsqr_tpu.utils import timing
 def blockqr_breakdown(m: int, n: int, mode: str = "fp32",
                       panel_width: int = 128, reorth: bool = False,
                       out: IO = sys.stderr, **qr_kw) -> dict:
-    """Estimate the GEMM-vs-panel-QR split of one BlockQR call
-    (≙ PROFILE_BREAKDOWN percentages, blockqr.cu:151-174)."""
+    """MEASURED panel-QR vs trailing-GEMM split of one BlockQR call
+    (≙ PROFILE_BREAKDOWN percentages, blockqr.cu:151-174).
+
+    The reference times the real phases in-line between stream syncs;
+    under XLA the phases of one fused program cannot be clocked
+    individually, so this differences THREE real fused programs instead:
+    the full BlockQR, the same program with the panel factorizations
+    ablated (``_ablate="no_panel"``: each panel returns (A', I)), and
+    with the trailing projections ablated (``_ablate="no_project"``).
+    Each phase cost is what XLA actually scheduled for it — same method
+    as :func:`tsqr_phase_split`'s want_q ablation, unlike the
+    separately-jitted upper-bound estimates this function computed
+    before round 3.  ``other_s`` is the unattributed remainder
+    (fix-up GEMMs, casts, fusion overlap between the phases)."""
     policy = modes.resolve(mode)
-    nb = min(panel_width, n)
     a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
 
-    t_total = timing.time_fn_amortized(
-        lambda x: blockqr.qr(x, policy, reorth=reorth,
-                             panel_width=panel_width, **qr_kw),
-        a, loops=4, reps=2)
+    def run(ablate):
+        return timing.time_fn_amortized(
+            lambda x: blockqr.qr(x, policy, reorth=reorth,
+                                 panel_width=panel_width, _ablate=ablate,
+                                 **qr_kw),
+            a, loops=4, reps=2)
 
-    panel = a[:, :nb]
-    t_tsqr = timing.time_fn_amortized(
-        lambda x: tsqr_mod.tsqr(x[:, :nb], policy, **{
-            k: v for k, v in qr_kw.items()
-            if k in ("leaf_rows", "fanin", "impl")}),
-        a, loops=4, reps=2)
-    n_panels = -(-n // nb)
-    t_tsqr_total = t_tsqr * n_panels * (2 if reorth else 1)
-
-    # trailing GEMMs at the largest shape as the bound
-    t_gemm = timing.time_fn_amortized(
-        lambda x: policy.mm(x.T, x[:, :nb]), a, loops=4, reps=2)
-    t_gemm_total = t_gemm * 2 * (n_panels - 1) * (2 if reorth else 1)
-
+    t_total = run(None)
+    t_panel = max(t_total - run("no_panel"), 0.0)
+    t_gemm = max(t_total - run("no_project"), 0.0)
     result = {
         "total_s": t_total,
-        "tsqr_est_s": t_tsqr_total,
-        "gemm_est_s": t_gemm_total,
-        "tsqr_pct": 100 * t_tsqr_total / t_total,
-        "gemm_pct": 100 * t_gemm_total / t_total,
+        "tsqr_s": t_panel,
+        "gemm_s": t_gemm,
+        "other_s": t_total - t_panel - t_gemm,
+        "tsqr_pct": 100 * t_panel / t_total,
+        "gemm_pct": 100 * t_gemm / t_total,
     }
     print(f"# blockqr breakdown m={m} n={n} mode={policy.name}: "
-          f"total {t_total*1e3:.2f} ms, tsqr ~{result['tsqr_pct']:.0f}%, "
-          f"gemm ~{result['gemm_pct']:.0f}%", file=out, flush=True)
+          f"total {t_total*1e3:.2f} ms, panel-QR {result['tsqr_pct']:.0f}%, "
+          f"trailing-GEMM {result['gemm_pct']:.0f}% (measured by real-"
+          f"program ablation)", file=out, flush=True)
     return result
 
 
