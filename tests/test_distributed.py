@@ -164,3 +164,41 @@ def test_dqr_auto_fast_tier_matches_dcholqr1_math(mesh8):
     # R^T R ~ G (cholqr1's defining identity)
     rr = np.asarray(r, np.float64)
     assert np.linalg.norm(rr.T @ rr - g) / np.linalg.norm(g) < 1e-5
+
+
+def test_dqr_regen_matches_local(mesh8):
+    # matrix-free distributed pipeline: same generator, same global chunk
+    # partition as the single-process qr_regen -> same R up to the
+    # psum-vs-sequential accumulation order
+    from tsqr_tpu.core import ooc
+
+    m, n, chunk = 4096, 32, 256
+    key = jax.random.PRNGKey(9)
+    gen = ooc.uniform_gen(key, chunk, n, dtype=jnp.float32)
+    r_d, info_d = dtsqr.dqr_regen(gen, m, n, mesh8, "fp32",
+                                  method="cholqr2", chunk_rows=chunk)
+    assert float(info_d["orthogonality"]) < 1e-6
+    assert float(info_d["residual"]) < 1e-6
+    r_l, info_l = ooc.qr_regen(gen, m, n, "fp32", method="cholqr2",
+                               chunk_rows=chunk)
+    assert np.allclose(np.asarray(r_d), np.asarray(r_l), rtol=1e-4,
+                       atol=1e-5 * float(np.abs(np.asarray(r_l)).max()))
+    # a consumer materializes its Q shard from info["rinv"]: the
+    # distributed and local factors must produce the same chunk (a lone
+    # chunk is NOT itself orthonormal — its columns carry ~chunk/m of
+    # the unit mass; orthogonality is asserted globally above)
+    q0_d = np.asarray(gen(0) @ info_d["rinv"], np.float64)
+    q0_l = np.asarray(gen(0) @ info_l["rinv"], np.float64)
+    assert np.allclose(q0_d, q0_l, rtol=1e-4, atol=1e-6)
+
+
+def test_dqr_regen_bf16_cholqr3(mesh8):
+    from tsqr_tpu.core import ooc
+
+    m, n, chunk = 4096, 32, 128
+    key = jax.random.PRNGKey(10)
+    gen = ooc.uniform_gen(key, chunk, n, dtype=jnp.bfloat16)
+    r_d, info = dtsqr.dqr_regen(gen, m, n, mesh8, "bf16x6_cor",
+                                method="cholqr3", chunk_rows=chunk)
+    assert float(info["orthogonality"]) < 1e-5
+    assert float(info["residual"]) < 1e-5

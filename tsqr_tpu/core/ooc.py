@@ -79,6 +79,28 @@ def qr_regen(gen_chunk: Callable[[int], Array],
     policy = modes.resolve(mode)
     assert m % chunk_rows == 0, (m, chunk_rows)
     n_chunks = m // chunk_rows
+
+    @jax.jit
+    def run():
+        return _regen_body(gen_chunk, n_chunks, n, chunk_rows, policy,
+                           method)
+
+    r, orth, resid, rinv = run()
+    return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
+
+
+def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
+                chunk_rows: int, policy: modes.Policy, method: str,
+                reduce: Callable[[Array], Array] = lambda x: x,
+                ) -> tuple[Array, Array, Array, Array]:
+    """Traced core of :func:`qr_regen`: (r, orth, resid, rinv_total).
+
+    ``reduce`` wraps every cross-chunk (n, n)/scalar accumulation result:
+    identity locally; ``lax.psum`` over the mesh row axis in
+    ``parallel.dtsqr.dqr_regen``, where each device runs this body over
+    its own chunk range — the psum'd Gram/metric accumulators are the
+    ONLY communication (the same D-independent n^2 bound as dcholqr).
+    """
     n_iters = {"cholqr1": 1, "cholqr2": 2, "cholqr3": 3}[method]
 
     def gram_pass(rinv_total):
@@ -90,47 +112,43 @@ def qr_regen(gen_chunk: Callable[[int], Array],
             return _kahan_add(g, comp, modes.gram(x, policy))
         z = jnp.zeros((n, n), jnp.float32)
         g, _ = lax.fori_loop(0, n_chunks, body, (z, z))
-        return g
+        return reduce(g)
 
-    @jax.jit
-    def run():
-        rinv_total = None
-        r_total = jnp.eye(n, dtype=jnp.float32)
-        for it in range(n_iters):
-            g = gram_pass(rinv_total)
-            shift = (cholqr._shift_value_fused(g, n, chunk_rows)
-                     if it == 0 and method == "cholqr3" else 0.0)
-            r = cholqr._chol_r(g, shift=shift)
-            rinv = cholqr._rinv(r)
-            rinv_total = (rinv if rinv_total is None
-                          else modes.mm_fp32(rinv_total, rinv))
-            r_total = modes.mm_fp32(r, r_total)
+    rinv_total = None
+    r_total = jnp.eye(n, dtype=jnp.float32)
+    for it in range(n_iters):
+        g = gram_pass(rinv_total)
+        shift = (cholqr._shift_value_fused(g, n, chunk_rows)
+                 if it == 0 and method == "cholqr3" else 0.0)
+        r = cholqr._chol_r(g, shift=shift)
+        rinv = cholqr._rinv(r)
+        rinv_total = (rinv if rinv_total is None
+                      else modes.mm_fp32(rinv_total, rinv))
+        r_total = modes.mm_fp32(r, r_total)
 
-        def metrics_body(i, carry):
-            qtq, comp, d2, a2 = carry
-            x = gen_chunk(i).astype(jnp.float32)
-            q = policy.mm(x, rinv_total).astype(policy.io_dtype)
-            q32 = q.astype(jnp.float32)
-            contrib = lax.dot_general(
-                q32, q32, (((0,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            qtq, comp = _kahan_add(qtq, comp, contrib)
-            d = x - jnp.matmul(q32, r_total,
-                               precision=lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-            return qtq, comp, d2 + jnp.sum(d * d), a2 + jnp.sum(x * x)
+    def metrics_body(i, carry):
+        qtq, comp, d2, a2 = carry
+        x = gen_chunk(i).astype(jnp.float32)
+        q = policy.mm(x, rinv_total).astype(policy.io_dtype)
+        q32 = q.astype(jnp.float32)
+        contrib = lax.dot_general(
+            q32, q32, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        qtq, comp = _kahan_add(qtq, comp, contrib)
+        d = x - jnp.matmul(q32, r_total,
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        return qtq, comp, d2 + jnp.sum(d * d), a2 + jnp.sum(x * x)
 
-        z = jnp.zeros((n, n), jnp.float32)
-        s = jnp.zeros((), jnp.float32)
-        qtq, _, d2, a2 = lax.fori_loop(0, n_chunks, metrics_body,
-                                       (z, z, s, s))
-        orth = jnp.linalg.norm(qtq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
-        resid = jnp.sqrt(d2) / jnp.sqrt(a2)
-        return jnp.triu(r_total), orth, resid, rinv_total
-
-    r, orth, resid, rinv = run()
-    return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
+    z = jnp.zeros((n, n), jnp.float32)
+    s = jnp.zeros((), jnp.float32)
+    qtq, _, d2, a2 = lax.fori_loop(0, n_chunks, metrics_body,
+                                   (z, z, s, s))
+    qtq, d2, a2 = reduce(qtq), reduce(d2), reduce(a2)
+    orth = jnp.linalg.norm(qtq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+    resid = jnp.sqrt(d2) / jnp.sqrt(a2)
+    return jnp.triu(r_total), orth, resid, rinv_total
 
 
 def uniform_gen(key: Array, chunk_rows: int, n: int,

@@ -366,3 +366,44 @@ def dqr(a: Array, mesh: Mesh,
     )
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
+def dqr_regen(gen_chunk, m: int, n: int, mesh: Mesh,
+              mode: modes.ComputeMode | str | modes.Policy = "bf16",
+              method: str = "cholqr2",
+              chunk_rows: int = 1 << 21,
+              axis: str = ROWS_AXIS) -> tuple[Array, dict]:
+    """Matrix-free distributed streamed QR: ``core.ooc.qr_regen`` lifted
+    to a mesh.  A is defined by ``gen_chunk(i)`` over GLOBAL chunk
+    indices; device d generates chunks [d*c, (d+1)*c) locally, so the
+    per-device HBM footprint is one (chunk_rows, n) tile regardless of m
+    — the beyond-HBM envelope scales with the POD, not the chip.
+
+    Communication: one (n, n) psum per Gram pass plus one (n, n) + two
+    scalar psums for the streamed metrics — the same m-independent
+    D*n^2 ICI bound as ``dcholqr`` (module docstring).  Returns
+    (R replicated, {orthogonality, residual, rinv}); Q is never
+    materialized — a consumer applies ``info["rinv"]`` to its own
+    locally-generated chunks.
+    """
+    from tsqr_tpu.core import ooc
+
+    policy = modes.resolve(mode)
+    n_dev = mesh.shape[axis]
+    assert m % (chunk_rows * n_dev) == 0, (m, chunk_rows, n_dev)
+    per_dev = m // chunk_rows // n_dev
+
+    def shard_body():
+        d = lax.axis_index(axis)
+
+        def local_gen(i):
+            return gen_chunk(d * per_dev + i)
+
+        return ooc._regen_body(
+            local_gen, per_dev, n, chunk_rows, policy, method,
+            reduce=lambda x: lax.psum(x, axis))
+
+    fn = shard_map(shard_body, mesh=mesh, in_specs=(),
+                   out_specs=(P(), P(), P(), P()), check_rep=False)
+    r, orth, resid, rinv = jax.jit(fn)()
+    return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
