@@ -6,6 +6,13 @@
 (tsqr_tpu/harness/speed.py schema).
 
 Usage: python scripts/mk_performance_graph.py performance.csv [out.pdf]
+       [extra.csv ...]
+
+Extra CSVs may use the capacity-row schemas (data/bigm2.csv
+``m,n,compute_mode,method,elapsed_time,tflops,...`` or data/bigm3.csv
+``m,n,mode_method,elapsed_time,tflops,...``); their rows are scatter-
+marked on both panels, extending the m envelope beyond the sweep range
+(the reference plot's m reaches 2^26, mk_performance_graph.py:40-49).
 """
 
 import sys
@@ -13,11 +20,21 @@ import sys
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
+import pandas as pd
 
 from plot_common import label, load, style
 
 
-def main(csv_path: str, out: str = "performance.pdf") -> None:
+def load_capacity(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path, comment="#")
+    if "mode_method" in df.columns:
+        df["compute_mode"] = df["mode_method"]
+    elif "method" in df.columns:
+        df["compute_mode"] = df["compute_mode"] + "/" + df["method"]
+    return df[["m", "n", "compute_mode", "elapsed_time", "tflops"]]
+
+
+def main(csv_path: str, out: str = "performance.pdf", *extras: str) -> None:
     df = load(csv_path)
     fig, axes = plt.subplots(2, 1, figsize=(7, 8), sharex=True)
     # one line per n when the CSV covers the wide grid (multiple n per m)
@@ -28,6 +45,14 @@ def main(csv_path: str, out: str = "performance.pdf") -> None:
         lbl = label(mode, reorth) + (f" n={n}" if multi_n else "")
         axes[0].plot(g["m"], g["elapsed_time"], label=lbl, **style(mode))
         axes[1].plot(g["m"], g["tflops"], label=lbl, **style(mode))
+    for path in extras:
+        ex = load_capacity(path)
+        for cm, g in ex.groupby("compute_mode"):
+            g = g.sort_values("m")
+            axes[0].plot(g["m"], g["elapsed_time"], "x", ms=7,
+                         label=f"{cm} (capacity)")
+            axes[1].plot(g["m"], g["tflops"], "x", ms=7,
+                         label=f"{cm} (capacity)")
     axes[0].set_yscale("log")
     axes[0].set_ylim(1e-5, 6.1e1)
     axes[0].set_ylabel("elapsed time [s]")
