@@ -23,6 +23,9 @@ if which == "compact_inplace_f32_2e24":
     m, io, mode, method, variant = 1 << 24, jnp.float32, "bf16x6_cor", "cholqr3_fused", "compact"
 elif which == "bf16_inplace_2e25":
     m, io, mode, method, variant = 1 << 25, jnp.bfloat16, "bf16", "cholqr1_fused", "compact"
+elif which == "bf16_inplace_2e24":
+    # VERDICT r2 item 3's exact target shape (>= 55 TFLOP/s wanted)
+    m, io, mode, method, variant = 1 << 24, jnp.bfloat16, "bf16", "cholqr1_fused", "compact"
 elif which == "x6_cholqr1_2e23":
     m, io, mode, method, variant = 1 << 23, jnp.float32, "bf16x6_cor", "cholqr1_fused", None
 else:
@@ -56,6 +59,7 @@ else:
     t = best - 0.030
 useful = flops_mod.qr_flops(m, n)
 item = {"compact_inplace_f32_2e24": "bf16x6_cor/cholqr3_fused[compact+inplace]",
+        "bf16_inplace_2e24": "bf16/cholqr1_fused[inplace]",
         "bf16_inplace_2e25": "bf16/cholqr1_fused[inplace]",
         "x6_cholqr1_2e23": "bf16x6_cor/cholqr1_fused"}[which]
 with open("/root/repo/data/bigm3.csv", "a") as f:
@@ -65,7 +69,7 @@ EOF
 }
 
 echo "m,n,mode_method,elapsed_time,tflops,orthogonality" > data/bigm3.csv
-for row in x6_cholqr1_2e23 bf16_inplace_2e25 compact_inplace_f32_2e24; do
+for row in x6_cholqr1_2e23 bf16_inplace_2e24 bf16_inplace_2e25 compact_inplace_f32_2e24; do
   echo "=== row $row start $(date +%T) ==="
   run_row "$row"
   echo "=== row $row done exit=$? $(date +%T) ==="
