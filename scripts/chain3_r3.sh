@@ -7,9 +7,17 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
 # /tmp/chain2_r3.pid recorded the wrong pid (4992; the live chain is
-# 4994 with the cond16 python at 18899) — wait on BOTH observed pids
+# 4994 with the cond16 python at 18899).  Wait on both observed pids,
+# but only while the pid still belongs to the chain (guards against pid
+# recycling), and give up waiting after a hard deadline so the queued
+# measurements are never silently skipped.
+DEADLINE=$(( $(date +%s) + 6*3600 ))
 for p in 4994 18899; do
-  while kill -0 "$p" 2>/dev/null; do sleep 60; done
+  while kill -0 "$p" 2>/dev/null \
+        && grep -qa -e chain2_r3 -e run_round3_data /proc/$p/cmdline 2>/dev/null \
+        && [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    sleep 60
+  done
 done
 echo "=== chain2 done; chain3 starting $(date +%T) ==="
 

@@ -20,13 +20,12 @@ import sys
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-import pandas as pd
 
 from plot_common import label, load, style
 
 
-def load_capacity(path: str) -> pd.DataFrame:
-    df = pd.read_csv(path, comment="#")
+def load_capacity(path: str):
+    df = load(path)
     if "mode_method" in df.columns:
         df["compute_mode"] = df["mode_method"]
     elif "method" in df.columns:

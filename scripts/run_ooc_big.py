@@ -68,18 +68,18 @@ def regen_main(args):
     method = {"bf16": "cholqr1", "bf16x6_cor": "cholqr2"}.get(
         args.mode, "cholqr2")
 
-    r, info = ooc.qr_regen(gen, m, n, args.mode, method=method,
-                           chunk_rows=chunk)
-    orth = float(info["orthogonality"])
-    resid = float(info["residual"])
-    # timed run (program cached); one perf_counter around the fused
-    # program — dispatch ~30 ms is noise at this scale
+    prog = ooc.regen_program(gen, m, n, args.mode, method=method,
+                             chunk_rows=chunk)
+    r, orth_a, resid_a, _ = prog()  # compile + correctness run
+    orth, resid = float(orth_a), float(resid_a)
+    # timed runs of the ALREADY-TRACED program (re-calling qr_regen would
+    # re-trace per call inside the timed window); dispatch ~30 ms is
+    # subtracted, everything else is the fused device program
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        r, info = ooc.qr_regen(gen, m, n, args.mode, method=method,
-                               chunk_rows=chunk)
-        float(info["residual"])
+        out = prog()
+        float(out[2])
         best = min(best, time.perf_counter() - t0)
     t = best - 0.030
     useful = flops_mod.qr_flops(m, n)

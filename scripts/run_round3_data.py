@@ -280,11 +280,59 @@ def perfm16():
     from tsqr_tpu.harness import baseline, flops as flops_mod, speed
     from tsqr_tpu.utils import timing
 
+    import subprocess
+
     n = 16
     ms = [1 << k for k in range(9, 27)]
+    # m*n >= 2^29 elems in one process risks OOM-poisoning the whole
+    # section (run_round2_data.py GRID_MAX_ELEMS) -> isolate per row
+    big_template = """
+import sys, time
+sys.path.insert(0, %(root)r)
+import jax, jax.numpy as jnp
+from tsqr_tpu.core import cholqr
+from tsqr_tpu.harness import flops as flops_mod
+m, n = %(m)d, 16
+fn = jax.jit(lambda x: cholqr.cholqr2(x, "bf16x6_cor"), donate_argnums=0)
+best = float("inf")
+for rep in range(3):
+    a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32,
+                           -1, 1)
+    float(jnp.sum(a[..., :1]))
+    t0 = time.perf_counter()
+    q, r = fn(a)
+    float(jnp.sum(q[..., :1].astype(jnp.float32))
+          + jnp.sum(r[..., :1].astype(jnp.float32)))
+    best = min(best, time.perf_counter() - t0)
+    del q, r
+t = best - 0.030
+fl = flops_mod.qr_flops(m, n)
+print("ROW %%d,16,float32,bf16x6_cor[cholqr2/donated],0,%%.6e,%%.4f,0"
+      %% (m, t, fl / t / 1e12), flush=True)
+"""
     with open(DATA / "perf_m16.csv", "w") as f:
         print(speed.CSV_HEADER, file=f, flush=True)
         for m in ms:
+            if m * n >= 1 << 29:
+                code = big_template % {"root": str(ROOT), "m": m}
+                try:
+                    res = subprocess.run(
+                        [sys.executable, "-u", "-c", code],
+                        capture_output=True, text=True, timeout=1800,
+                        env=dict(os.environ))
+                    rows = [ln[4:] for ln in res.stdout.splitlines()
+                            if ln.startswith("ROW ")]
+                    if not rows:
+                        raise RuntimeError(
+                            f"exit={res.returncode} "
+                            f"stderr={res.stderr.strip()[-300:]}")
+                    print(rows[-1], file=f, flush=True)
+                    print(f"perfm16 big m=2^{m.bit_length()-1}: {rows[-1]}",
+                          file=sys.stderr, flush=True)
+                except Exception as e:
+                    print(f"# error big m={m}: " + exc_note(e), file=f,
+                          flush=True)
+                continue
             if m <= 1 << 24:  # tree A+Q+working set beyond this
                 for mode in ("fp32", "bf16x6_cor"):
                     try:
@@ -313,13 +361,12 @@ def perfm16():
             except Exception as e:
                 print(f"# error cholqr2 m={m}: " + exc_note(e), file=f,
                       flush=True)
-            if m <= 1 << 24:
-                try:
-                    row = baseline.baseline_speed_row(m, n, trials=2)
-                    print(speed.format_row(row), file=f, flush=True)
-                except Exception as e:
-                    print(f"# error golden m={m}: " + exc_note(e), file=f,
-                          flush=True)
+            try:
+                row = baseline.baseline_speed_row(m, n, trials=2)
+                print(speed.format_row(row), file=f, flush=True)
+            except Exception as e:
+                print(f"# error golden m={m}: " + exc_note(e), file=f,
+                      flush=True)
             gc.collect()
 
 

@@ -76,6 +76,20 @@ def qr_regen(gen_chunk: Callable[[int], Array],
     (metrics as 0-d device arrays — one float() each at the call site
     keeps the whole run at 3 host syncs total).
     """
+    r, orth, resid, rinv = regen_program(gen_chunk, m, n, mode, method,
+                                         chunk_rows)()
+    return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
+
+
+def regen_program(gen_chunk: Callable[[int], Array], m: int, n: int,
+                  mode: modes.ComputeMode | str | modes.Policy = "bf16",
+                  method: str = "cholqr2",
+                  chunk_rows: int = 1 << 21) -> Callable[[], tuple]:
+    """The jitted nullary program behind :func:`qr_regen`, returned so a
+    benchmark can call it repeatedly WITHOUT re-tracing (each qr_regen
+    call builds a fresh jit closure, so back-to-back qr_regen timing
+    pays Python tracing + cache hashing inside the timed window).
+    Returns () -> (r, orth, resid, rinv_total)."""
     policy = modes.resolve(mode)
     assert m % chunk_rows == 0, (m, chunk_rows)
     n_chunks = m // chunk_rows
@@ -85,8 +99,7 @@ def qr_regen(gen_chunk: Callable[[int], Array],
         return _regen_body(gen_chunk, n_chunks, n, chunk_rows, policy,
                            method)
 
-    r, orth, resid, rinv = run()
-    return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
+    return run
 
 
 def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
@@ -241,10 +254,7 @@ def qr_out_of_core(a: np.ndarray,
         comp = jnp.zeros((n, n), jnp.float32)
         for lo, hi in _chunks(m, chunk_rows):
             contrib = gram_fn(jnp.asarray(src[lo:hi]))
-            y = contrib - comp
-            t = g + y
-            comp = (t - g) - y
-            g = t
+            g, comp = _kahan_add(g, comp, contrib)
             float(g[0, 0])  # backpressure (see docstring)
         if it == 0 and method == "cholqr3":
             # the library's shift (the old trace-based form here was up
@@ -295,10 +305,7 @@ def ooc_orthogonality(q: np.ndarray, chunk_rows: int = 1 << 20) -> float:
     comp = jnp.zeros((n, n), jnp.float32)
     for lo, hi in _chunks(m, chunk_rows):
         contrib = gram_fn(jnp.asarray(q[lo:hi]).astype(jnp.float32))
-        y = contrib - comp
-        t = g + y
-        comp = (t - g) - y
-        g = t
+        g, comp = _kahan_add(g, comp, contrib)
     return float(jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n * 1.0))
 
 
