@@ -88,3 +88,46 @@ def test_lstsq_multi_rhs():
     xg = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
                          rcond=None)[0]
     np.testing.assert_allclose(np.asarray(x), xg, rtol=0, atol=1e-4)
+
+
+def test_lstsq_regen_matches_materialized():
+    # matrix-free least squares: A defined by a generator, never
+    # materialized; must match np.linalg.lstsq on the assembled matrix
+    import jax
+    from tsqr_tpu.core import ooc
+
+    m, n, chunk = 2048, 24, 256
+    key = jax.random.PRNGKey(3)
+    gen = ooc.uniform_gen(key, chunk, n, dtype=jnp.float32)
+    a = np.concatenate([np.asarray(gen(i)) for i in range(m // chunk)])
+    rng = np.random.default_rng(4)
+    b = rng.uniform(-1, 1, m).astype(np.float32)
+    x, info = lstsq.lstsq_regen(gen, jnp.asarray(b), m, n, "fp32",
+                                method="cholqr2", chunk_rows=chunk)
+    xg = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                         rcond=None)[0]
+    assert np.allclose(np.asarray(x), xg, rtol=1e-3, atol=1e-4)
+    # achieved residual matches the golden residual (b has a large
+    # component outside range(A) at n << m)
+    rg = np.linalg.norm(a @ xg - b) / np.linalg.norm(b)
+    assert abs(float(info["residual"]) - rg) < 1e-4
+    assert float(info["orthogonality"]) < 1e-5
+
+
+def test_lstsq_regen_multi_rhs_corrected():
+    import jax
+    from tsqr_tpu.core import ooc
+
+    m, n, chunk = 1024, 16, 128
+    gen = ooc.uniform_gen(jax.random.PRNGKey(5), chunk, n,
+                          dtype=jnp.bfloat16)
+    a = np.concatenate([np.asarray(gen(i), np.float32)
+                        for i in range(m // chunk)])
+    rng = np.random.default_rng(6)
+    b = rng.uniform(-1, 1, (m, 3)).astype(np.float32)
+    x, info = lstsq.lstsq_regen(gen, jnp.asarray(b), m, n, "bf16x6_cor",
+                                method="cholqr2", chunk_rows=chunk)
+    xg = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                         rcond=None)[0]
+    assert x.shape == (n, 3)
+    assert np.allclose(np.asarray(x), xg, rtol=5e-3, atol=5e-3)
