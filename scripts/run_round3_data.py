@@ -41,12 +41,47 @@ KW = dict(panel_width=128, leaf_rows=2048)
 
 
 def cond16():
+    """RESUMABLE: the tunnel wedged 63 rows into the first run (process
+    blocked 40 min on a device response, CPU clock frozen) — completed
+    (mode, reorth, cond) combos already in data/cond.csv are kept and
+    skipped, so a restart only pays for the missing rows."""
     from tsqr_tpu.harness import cond as cond_mod
 
-    with open(DATA / "cond.csv", "w") as f:
-        cond_mod.sweep(1 << 15, 1 << 7, [2.0 ** k for k in range(2, 16)],
-                       MODES + ["golden"], reorths=(False, True),
-                       trials=16, out=f, **KW)
+    path = DATA / "cond.csv"
+    done, kept = set(), []
+    if path.exists():
+        for line in path.read_text().splitlines():
+            if not line or line.startswith("#") or line.startswith("m,n,"):
+                continue
+            p = line.split(",")
+            # m,n,condition,measured_condition,type,compute_mode,reorth,...
+            done.add((p[5], int(p[6]), float(p[2])))
+            kept.append(line)
+    print(f"cond16: resuming with {len(kept)} rows done", file=sys.stderr,
+          flush=True)
+    with open(path, "w") as f:
+        print(cond_mod.CSV_HEADER, file=f, flush=True)
+        for line in kept:
+            print(line, file=f, flush=True)
+        for mode in MODES + ["golden"]:
+            name = "jnp.linalg.qr" if mode == "golden" else mode
+            for reorth in (False, True):
+                if mode == "golden" and reorth:
+                    continue
+                for cond in [2.0 ** k for k in range(2, 16)]:
+                    if (name, int(reorth), cond) in done:
+                        continue
+                    try:
+                        row = cond_mod.cond_row(1 << 15, 1 << 7, cond, mode,
+                                                reorth, trials=16, **KW)
+                    except Exception as e:
+                        print(f"# error cond={cond} mode={mode}: "
+                              f"{exc_note(e)}", file=f, flush=True)
+                        continue
+                    print(cond_mod.format_row(row), file=f, flush=True)
+                    print(f"cond16 {name} reorth={int(reorth)} "
+                          f"kappa={cond:.0f} done", file=sys.stderr,
+                          flush=True)
 
 
 def mfu():
