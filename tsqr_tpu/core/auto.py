@@ -79,12 +79,13 @@ def qr_auto(a: Array,
     # Fallback: the Householder tree with reorthogonalization — an input
     # that defeated CholeskyQR3 is exactly the extreme-kappa case where
     # single-pass CGS loses orthogonality.  The default impl stays "jnp":
-    # the whole-tree program with pallas_sb leaves has not yet been
-    # demonstrated to compile on the real chip (docs/ROUND2.md item 3 —
-    # the remote-compile helper dies on it), and a safety net must not be
-    # the one configuration known to crash.  Once the sb-tree is proven
-    # on-chip, pass impl="pallas_sb" explicitly (7x faster leaves at
-    # 2^20 x 128, ops/pallas_panel_sb.py).
+    # the round-2 crash (a full sb-tree program killing the remote-compile
+    # helper) was fixed in round 3 by routing INNER tree levels through the
+    # XLA path (tsqr.tree_impl="jnp"; leaf-only impl="pallas_sb" is green
+    # on-chip — tests/test_tpu_compiled.py::test_whole_tree_sb_leaves_
+    # compiled), but a safety net defaults to the configuration with the
+    # longest on-chip record.  Pass impl="pallas_sb" for ~7x faster leaves
+    # (ops/pallas_panel_sb.py) where fallback latency matters.
     qr_kw.setdefault("reorth", True)
     q, r = blockqr.qr(a, mode, **qr_kw)
     return q, r, "blockqr_tsqr"
