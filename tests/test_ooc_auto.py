@@ -206,9 +206,12 @@ def test_predictive_ladder_three_regimes(kappa, want_tol):
 
 
 def test_predictive_kappa2_estimate_dominates():
-    # the tier-0 inf-norm bound must never under-report kappa_2(A)^2
-    # (the PSD inf-norm >= spectral-norm argument in qr_auto_fused's
-    # docstring) — checked across the latms kappa range
+    # the tier-0 bound must never under-report kappa_2(A)^2 (the
+    # power-compounded PSD inf-norm argument in _psd_norm2_bound's
+    # docstring), must never exceed the plain inf-norm product it
+    # replaced, and should stay within ~2x of true kappa^2 (the round-3
+    # tightening: the plain product overshot ~7x on latms spectra) —
+    # checked across the latms kappa range
     from tsqr_tpu import modes
     from tsqr_tpu.core import cholqr
 
@@ -219,5 +222,26 @@ def test_predictive_kappa2_estimate_dominates():
         g = (g + g.T) * 0.5
         rinv1 = cholqr._rinv(cholqr._chol_r(g, shift=None))
         minv = modes.mm_fp32(rinv1, rinv1.T)
-        est = float((auto._inf_norm11(g) * auto._inf_norm11(minv))[0, 0])
+        est = float((auto._psd_norm2_bound(g)
+                     * auto._psd_norm2_bound(minv))[0, 0])
+        inf_prod = float((auto._inf_norm11(g)
+                          * auto._inf_norm11(minv))[0, 0])
         assert est > 0.95 * measured ** 2
+        assert est <= inf_prod * 1.0001
+        assert est < 2.5 * measured ** 2
+
+
+def test_psd_norm2_bound_scale_invariant():
+    # the pre-scaling makes the 4th power safe at any input magnitude:
+    # the bound must survive scales that would overflow/underflow a
+    # naive X^4 in fp32, and stay proportional to the scale
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((64, 64)).astype(np.float32)
+    x = jnp.asarray(v @ v.T)
+    base = float(auto._psd_norm2_bound(x)[0, 0])
+    lam = float(jnp.linalg.eigvalsh(x)[-1])
+    assert base >= 0.999 * lam and base < 2.0 * lam
+    for scale in (1e-30, 1e30):
+        got = float(auto._psd_norm2_bound(x * scale)[0, 0])
+        assert np.isfinite(got)
+        assert abs(got / (base * scale) - 1.0) < 1e-3

@@ -152,6 +152,29 @@ def _inf_norm11(x: Array) -> Array:
     return jnp.max(jnp.sum(jnp.abs(x), axis=1), keepdims=True)[None]
 
 
+def _psd_norm2_bound(x: Array) -> Array:
+    """Rigorous upper bound on ||X||_2 for symmetric PSD X, (1,1)-shaped.
+
+    ||X||_2 = ||X^4||_2^{1/4} <= ||X^4||_inf^{1/4} (for symmetric
+    matrices the inf-norm dominates the spectral norm), and
+    submultiplicativity gives ||X^4||_inf^{1/4} <= ||X||_inf — power
+    compounding can only tighten the plain inf-norm bound, and it takes
+    the inf-vs-spectral overshoot (up to sqrt(n); ~2.6x per factor
+    measured on latms spectra at n=128) to its 4th root (~1.3x).  The
+    cost is two (n, n) MXU matmuls — noise against the m n^2 Gram that
+    produced X.  X is pre-scaled by its inf-norm so the 4th power can
+    neither overflow nor underflow at any input scale (the scaled PSD
+    matrix has max diagonal >= 1/n, so ||X_hat^4||_inf >= n^-4); a
+    scale of 0 or NaN propagates NaN, which every downstream gate reads
+    as False — the safe (Householder) direction.
+    """
+    s = _inf_norm11(x)
+    xh = x / s
+    x2 = modes.mm_fp32(xh, xh)
+    x4 = modes.mm_fp32(x2, x2)
+    return s * _inf_norm11(x4) ** 0.25
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
                                              "fast_variant", "mid_method",
                                              "mid_variant", "impl",
@@ -169,12 +192,15 @@ def qr_auto_fused(a: Array,
     """Self-validating QR as ONE fused XLA program: the PREDICTIVE ladder.
 
     Tier 0 (shared, ~1 HBM pass): stream the Gram G = A^T A, Cholesky it,
-    and bound kappa(A)^2 by ||G||_inf * ||(R1^T R1)^-1||_inf.  For
-    symmetric PSD matrices the inf-norm DOMINATES the spectral norm
-    (||G||_inf >= ||G||_2 via ||G||_2^2 <= ||G||_1 ||G||_inf and
-    symmetry), so the estimate NEVER under-reports kappa_2(A)^2 — the
-    gate errs only toward the safer tier.  A failed Cholesky yields NaN
-    -> every gate is False -> the ladder falls through to Householder.
+    and bound kappa(A)^2 by ||G||_2 * ||(R1^T R1)^-1||_2 upper bounds
+    from power-compounded inf-norms (`_psd_norm2_bound`:
+    ||X^4||_inf^{1/4} >= ||X||_2 for symmetric X, <= ||X||_inf by
+    submultiplicativity), so the estimate NEVER under-reports
+    kappa_2(A)^2 — the gate errs only toward the safer tier — while
+    overshooting true kappa^2 by only ~1.3-1.7x (the plain inf-norm
+    product overshot ~7x, taxing kappa ~2-13 inputs with the robust
+    tier unnecessarily).  A failed Cholesky yields NaN -> every gate is
+    False -> the ladder falls through to Householder.
 
     Tier 1 (fast): gate kappa2_est * eps_mode * safety < tol *before any
     Q exists*; the branch then finishes the method (for cholqr1 that is
@@ -218,7 +244,7 @@ def qr_auto_fused(a: Array,
     r1 = cholqr._chol_r(g, shift=None)
     rinv1 = cholqr._rinv(r1)
     minv = modes.mm_fp32(rinv1, rinv1.T)          # (R1^T R1)^-1 = G^-1
-    kappa2_est = (_inf_norm11(g) * _inf_norm11(minv)).reshape(1, 1)
+    kappa2_est = (_psd_norm2_bound(g) * _psd_norm2_bound(minv)).reshape(1, 1)
     base = fast_method.removesuffix("_fused")
     k2max = _kappa2_max(base, eps, tol)
     ok1 = (kappa2_est < k2max).reshape(())        # False for NaN

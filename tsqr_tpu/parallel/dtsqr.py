@@ -250,8 +250,8 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
 
     The tier-0 Gram psum is ALSO the kappa-estimator's input: because
     G = psum(A_loc^T A_loc) is replicated, every chip computes the same
-    rigorous kappa^2(A) bound (PSD inf-norms dominate spectral norms —
-    see auto.qr_auto_fused) and the `lax.cond` predicate is replicated
+    rigorous kappa^2(A) bound (power-compounded PSD inf-norms dominate
+    spectral norms — auto._psd_norm2_bound) and the `lax.cond` predicate is replicated
     by construction, so all chips take the same branch and the
     collectives inside each branch stay globally consistent."""
     from tsqr_tpu.core import auto, cholqr
@@ -269,7 +269,7 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
     r1 = cholqr._chol_r(g, shift=None)
     rinv1 = cholqr._rinv(r1)
     minv = modes.mm_fp32(rinv1, rinv1.T)
-    kappa2_est = (auto._inf_norm11(g) * auto._inf_norm11(minv))
+    kappa2_est = (auto._psd_norm2_bound(g) * auto._psd_norm2_bound(minv))
     ok1 = (kappa2_est < k2max).reshape(())        # False for NaN
 
     def tier1(_):
