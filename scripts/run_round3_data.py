@@ -161,9 +161,10 @@ def ladder():
     """Decision boundary of the PREDICTIVE ladder (VERDICT r2 item 8).
 
     For latms inputs across kappa, records the tier-0 kappa^2 estimate
-    (the inf-norm bound that drives the tier-1 gate), the tier the
-    ladder lands in (recomputed from the gate math on host), and the
-    end-to-end ladder accuracy + time per kappa."""
+    (the power-compounded PSD norm bound driving the tier-1 gate —
+    auto._psd_norm2_bound), the tier the ladder lands in (recomputed
+    from the gate math on host), and the end-to-end ladder accuracy +
+    time per kappa."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -192,7 +193,8 @@ def ladder():
         r1 = cholqr._chol_r(g, shift=None)
         rinv1 = cholqr._rinv(r1)
         minv = modes.mm_fp32(rinv1, rinv1.T)
-        k2 = (auto._inf_norm11(g) * auto._inf_norm11(minv)).reshape(())
+        k2 = (auto._psd_norm2_bound(g)
+              * auto._psd_norm2_bound(minv)).reshape(())
         # tier-2's measured gate input
         q_m, r_m, gq = cholqr.cholqr3_fused(x, mode, variant="compact",
                                             g1=g, return_qgram=True)
