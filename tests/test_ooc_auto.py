@@ -231,6 +231,35 @@ def test_predictive_kappa2_estimate_dominates():
         assert est < 2.5 * measured ** 2
 
 
+def test_qr_auto_fused_return_info_tiers():
+    # the fused ladder's tier tag must report the rung that actually
+    # ran: benign -> 1 (fast CholQR), kappa ~1e3 -> 2 (robust shifted
+    # CholQR3), rank-deficient -> 3 (Householder; NaN Cholesky falls
+    # all the way through) — and the (q, r) outputs must match the
+    # info-less program exactly
+    kw = dict(fast_method="cholqr1", mid_method="cholqr3",
+              mid_variant="safe", leaf_rows=512)
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(-1, 1, (4096, 96)).astype(np.float32))
+    q, r, info = auto.qr_auto_fused(a, "fp32", return_info=True, **kw)
+    assert int(info["tier"][0, 0]) == 1
+    assert float(info["kappa2_est"][0, 0]) < 1e3
+    q0, r0 = auto.qr_auto_fused(a, "fp32", **kw)
+    assert np.array_equal(np.asarray(q), np.asarray(q0))
+    assert np.array_equal(np.asarray(r), np.asarray(r0))
+
+    a2, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(21), 4096, 96,
+                                        1e3)
+    _, _, info2 = auto.qr_auto_fused(a2, "fp32", return_info=True, **kw)
+    assert int(info2["tier"][0, 0]) == 2
+
+    bad = jnp.concatenate([a[:, :48], a[:, :48]], axis=1)  # exact rank 48
+    q3, _, info3 = auto.qr_auto_fused(bad, "fp32", return_info=True, **kw)
+    assert int(info3["tier"][0, 0]) == 3
+    assert validation.orthogonality(np.asarray(q3, np.float64)) < 1e-5
+
+
 def test_psd_norm2_bound_scale_invariant():
     # the pre-scaling makes the 4th power safe at any input magnitude:
     # the bound must survive scales that would overflow/underflow a

@@ -178,7 +178,8 @@ def _psd_norm2_bound(x: Array) -> Array:
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
                                              "fast_variant", "mid_method",
                                              "mid_variant", "impl",
-                                             "leaf_rows", "fanin", "reorth"))
+                                             "leaf_rows", "fanin", "reorth",
+                                             "return_info"))
 def qr_auto_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   fast_method: str = "cholqr1_fused",
@@ -188,7 +189,8 @@ def qr_auto_fused(a: Array,
                   impl: str = "jnp",
                   leaf_rows: int = 2048,
                   fanin: int = 8,
-                  reorth: bool = True) -> tuple[Array, Array]:
+                  reorth: bool = True,
+                  return_info: bool = False) -> tuple[Array, ...]:
     """Self-validating QR as ONE fused XLA program: the PREDICTIVE ladder.
 
     Tier 0 (shared, ~1 HBM pass): stream the Gram G = A^T A, Cholesky it,
@@ -220,6 +222,13 @@ def qr_auto_fused(a: Array,
     The result carries NO kappa caveat: tier-2's gate is a measured
     orthogonality, so any input that defeats the Gram methods lands on
     the reflector path.  Untaken branches cost compile time only.
+
+    With ``return_info=True`` returns ``(q, r, info)`` where
+    ``info["tier"]`` is a (1, 1) int32 device scalar (1=fast CholQR,
+    2=robust shifted CholQR3, 3=Householder tree — the fused analogue
+    of qr_auto's ``method_used`` string) and ``info["kappa2_est"]`` is
+    the tier-0 bound; zero extra device work (the tag rides the
+    existing ``lax.cond`` outputs).
     """
     policy = modes.resolve(mode)
     tol = _TOL.get(policy.mode, 1e-4)
@@ -248,6 +257,16 @@ def qr_auto_fused(a: Array,
     base = fast_method.removesuffix("_fused")
     k2max = _kappa2_max(base, eps, tol)
     ok1 = (kappa2_est < k2max).reshape(())        # False for NaN
+
+    if return_info:
+        # tag each branch's output with its tier index so the caller can
+        # observe which rung ran (branches of a lax.cond must return
+        # identical pytrees, so the tag rides every branch)
+        def _tag(fn, t):
+            return lambda _: (*fn(_), jnp.full((1, 1), t, jnp.int32))
+    else:
+        def _tag(fn, t):
+            return fn
 
     def tier1(_):
         if base == "cholqr1":
@@ -291,7 +310,11 @@ def qr_auto_fused(a: Array,
         def mid_ok(_):
             return q_m.astype(io), jnp.triu(r_m).astype(io)
 
-        return jax.lax.cond(ok2, mid_ok, tier3, None)
+        return jax.lax.cond(ok2, _tag(mid_ok, 2), _tag(tier3, 3), None)
 
-    fallback = rest if mid_method is not None else tier3
-    return jax.lax.cond(ok1, tier1, fallback, None)
+    fallback = rest if mid_method is not None else _tag(tier3, 3)
+    out = jax.lax.cond(ok1, _tag(tier1, 1), fallback, None)
+    if return_info:
+        q, r, tier = out
+        return q, r, {"tier": tier, "kappa2_est": kappa2_est}
+    return out
