@@ -153,6 +153,27 @@ def test_dqr_auto_predictive_ladder(mesh8, kappa):
     assert validation.residual(np.asarray(a), q64, r64) < 1e-4
 
 
+def test_dqr_auto_return_info_tier(mesh8):
+    # the distributed ladder's tier tag mirrors qr_auto_fused's: benign
+    # -> 1, kappa=1e3 -> 2; both replicated (P() out-spec holds only if
+    # every shard computes the same value)
+    from tsqr_tpu.utils import latms
+    a = jnp.asarray(_rand(2048, 32, seed=6))
+    ax = jax.device_put(a, mesh_mod.row_sharding(mesh8))
+    q, r, info = dtsqr.dqr_auto(ax, mesh8, "fp32", leaf_rows=64,
+                                return_info=True)
+    assert int(info["tier"][0, 0]) == 1
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-6
+
+    a2, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(31), 2048, 32,
+                                        1e3)
+    ax2 = jax.device_put(a2, mesh_mod.row_sharding(mesh8))
+    q2, _, info2 = dtsqr.dqr_auto(ax2, mesh8, "fp32", leaf_rows=64,
+                                  return_info=True)
+    assert int(info2["tier"][0, 0]) == 2
+    assert validation.orthogonality(np.asarray(q2, np.float64)) < 1e-5
+
+
 def test_dqr_auto_fast_tier_matches_dcholqr1_math(mesh8):
     # well-conditioned input lands tier 1 = distributed cholqr1 from the
     # shared Gram; cross-check against a replicated-Gram reference

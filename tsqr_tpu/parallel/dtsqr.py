@@ -245,7 +245,8 @@ def dcholqr(a: Array, mesh: Mesh,
 
 def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
                     n_dev: int, tol: float, eps: float,
-                    **tsqr_kw) -> tuple[Array, Array]:
+                    return_info: bool = False,
+                    **tsqr_kw) -> tuple[Array, ...]:
     """Per-shard PREDICTIVE ladder (the distributed core/auto design).
 
     The tier-0 Gram psum is ALSO the kappa-estimator's input: because
@@ -271,6 +272,14 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
     minv = modes.mm_fp32(rinv1, rinv1.T)
     kappa2_est = (auto._psd_norm2_bound(g) * auto._psd_norm2_bound(minv))
     ok1 = (kappa2_est < k2max).reshape(())        # False for NaN
+
+    if return_info:
+        # tier tag rides every cond branch (replicated, like the Gram)
+        def _tag(fn, t):
+            return lambda _: (*fn(_), jnp.full((1, 1), t, jnp.int32))
+    else:
+        def _tag(fn, t):
+            return fn
 
     def tier1(_):
         # finish cholqr1 from the shared factor: one local MXU pass,
@@ -304,21 +313,30 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
         def mid_ok(_):
             return q3, jnp.triu(r_m)
 
-        return lax.cond(ok2, mid_ok, tier3, None)
+        return lax.cond(ok2, _tag(mid_ok, 2), _tag(tier3, 3), None)
 
-    return lax.cond(ok1, tier1, rest, None)
+    out = lax.cond(ok1, _tag(tier1, 1), rest, None)
+    if return_info:
+        q, r, tier = out
+        return q, r, tier, kappa2_est
+    return out
 
 
 def dqr_auto(a: Array, mesh: Mesh,
              mode: modes.ComputeMode | str | modes.Policy = "fp32",
-             axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
+             axis: str = ROWS_AXIS, return_info: bool = False,
+             **tsqr_kw) -> tuple[Array, ...]:
     """Distributed self-validating QR: the predictive 3-tier ladder of
     ``core/auto.qr_auto_fused`` lifted to a row-sharded mesh.  Q comes
     back row-sharded, R (n, n) replicated; the fast tier costs ONE
     (n, n) psum of communication, the robust tier four — independent of
     m either way.  The static-mode reference cannot express this; it is
     the natural composition of this library's two TPU-first ideas
-    (Gram-psum distribution + runtime self-validation)."""
+    (Gram-psum distribution + runtime self-validation).
+
+    ``return_info=True`` appends ``{"tier", "kappa2_est"}`` exactly as
+    ``qr_auto_fused`` does; both values are replicated across the mesh
+    (deterministic functions of the psum'd Gram)."""
     from tsqr_tpu.core import auto
 
     policy = modes.resolve(mode)
@@ -328,14 +346,21 @@ def dqr_auto(a: Array, mesh: Mesh,
     tol = auto._TOL.get(policy.mode, 1e-4)
     eps = auto._EPS_GATE.get(policy.mode, 1e-6)
 
+    out_specs = (P(axis, None), P()) if not return_info else \
+        (P(axis, None), P(), P(), P())
     fn = shard_map(
         functools.partial(_dqr_auto_shard, policy=policy, axis=axis,
-                          n_dev=n_dev, tol=tol, eps=eps, **tsqr_kw),
+                          n_dev=n_dev, tol=tol, eps=eps,
+                          return_info=return_info, **tsqr_kw),
         mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=(P(axis, None), P()),
+        out_specs=out_specs,
         check_rep=False,
     )
+    if return_info:
+        q, r, tier, k2 = fn(a.astype(jnp.float32))
+        return (q.astype(policy.io_dtype), r.astype(policy.io_dtype),
+                {"tier": tier, "kappa2_est": k2})
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
