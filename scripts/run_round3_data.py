@@ -162,44 +162,27 @@ def ladder():
 
     For latms inputs across kappa, records the tier-0 kappa^2 estimate
     (the power-compounded PSD norm bound driving the tier-1 gate —
-    auto._psd_norm2_bound), the tier the ladder lands in (recomputed
-    from the gate math on host), and the end-to-end ladder accuracy +
-    time per kappa."""
+    auto._psd_norm2_bound), the tier the ladder actually took (the
+    program's own return_info tag — ground truth, not a host
+    reconstruction), and the end-to-end ladder accuracy + time per
+    kappa."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from tsqr_tpu import modes
-    from tsqr_tpu.core import auto, cholqr
-    from tsqr_tpu.ops import pallas_gram
+    from tsqr_tpu.core import auto
     from tsqr_tpu.utils import latms, timing, validation
 
     m, n = 1 << 20, 128
     mode = "bf16x6_cor"
-    policy = modes.resolve(mode)
-    tol = auto._TOL[policy.mode]
-    eps = auto._EPS_GATE[policy.mode]
-    k2max1 = auto._kappa2_max("cholqr1", eps, tol)
 
     def fn(x):
         return auto.qr_auto_fused(x, mode, fast_method="cholqr1_fused",
                                   mid_method="cholqr3_fused",
                                   mid_variant="compact")
 
-    @jax.jit
-    def gates(x):
-        # tier-0 math, exactly as qr_auto_fused computes it
-        g = pallas_gram.gram_pallas(x, mode)
-        g = (g + g.T) * 0.5
-        r1 = cholqr._chol_r(g, shift=None)
-        rinv1 = cholqr._rinv(r1)
-        minv = modes.mm_fp32(rinv1, rinv1.T)
-        k2 = (auto._psd_norm2_bound(g)
-              * auto._psd_norm2_bound(minv)).reshape(())
-        # tier-2's measured gate input
-        q_m, r_m, gq = cholqr.cholqr3_fused(x, mode, variant="compact",
-                                            g1=g, return_qgram=True)
-        orth_m = jnp.linalg.norm(gq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
-        return k2, orth_m
+    def fn_info(x):
+        return auto.qr_auto_fused(x, mode, fast_method="cholqr1_fused",
+                                  mid_method="cholqr3_fused",
+                                  mid_variant="compact", return_info=True)
 
     with open(DATA / "ladder.csv", "w") as f:
         f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
@@ -214,11 +197,10 @@ def ladder():
                     xs.append(x)
                     meas = max(meas, mj)
                 a = xs[0]
-                k2, orth_m = (float(v) for v in gates(a))
-                tier = ("fast" if np.isfinite(k2) and k2 < k2max1
-                        else "robust" if np.isfinite(orth_m)
-                        and orth_m < tol else "householder")
-                q, r = jax.jit(fn)(a)
+                q, r, info = fn_info(a)
+                k2 = float(info["kappa2_est"][0, 0])
+                tier = {1: "fast", 2: "robust", 3: "householder"}[
+                    int(info["tier"][0, 0])]
                 orth = validation.orthogonality_accurate(q)
                 resid = float(validation.residual_device_chunked(a, q, r))
                 del q, r

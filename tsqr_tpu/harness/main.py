@@ -77,15 +77,20 @@ def main(argv=None):
             else:
                 a, _ = latms.rand_matrix_with_cond(
                     jax.random.PRNGKey(int(kappa)), m, n, kappa)
-            q, r = auto.qr_auto_fused(
+            q, r, info = auto.qr_auto_fused(
                 a, "bf16x6_cor",
                 fast_method="cholqr1_fused" if on_tpu else "cholqr1",
                 mid_method="cholqr3_fused" if on_tpu else "cholqr3",
-                mid_variant="compact" if on_tpu else "safe")
+                mid_variant="compact" if on_tpu else "safe",
+                return_info=True)
             orth = validation.orthogonality_accurate(q)
             resid = float(validation.residual_device_chunked(a, q, r))
-            print(f"kappa={kappa:8.1e}  orthogonality={orth:.3e}  "
-                  f"residual={resid:.3e}", flush=True)
+            tier = {1: "fast", 2: "robust", 3: "householder"}[
+                int(info["tier"][0, 0])]
+            print(f"kappa={kappa:8.1e}  tier={tier:<11s}  "
+                  f"kappa2_est={float(info['kappa2_est'][0, 0]):.3g}  "
+                  f"orthogonality={orth:.3e}  residual={resid:.3e}",
+                  flush=True)
             del a, q, r
     elif args.which == "profile":
         # ≙ MEASURE_QR_TIME + PROFILE_BREAKDOWN, printed for the default
