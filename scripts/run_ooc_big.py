@@ -101,6 +101,11 @@ def main():
     ap.add_argument("--regen", action="store_true",
                     help="device-resident matrix-free pipeline (no host "
                          "streaming); appends a *_regen row")
+    ap.add_argument("--checkpoint", default=None,
+                    help="resumable host route: per-chunk checkpoint at "
+                         "this path + separate Q buffer instead of "
+                         "in-place (survives tunnel wedges; rerun the "
+                         "same command to resume)")
     args = ap.parse_args()
 
     if args.regen:
@@ -132,9 +137,18 @@ def main():
     # previous design's separate orth + regen-residual passes re-streamed
     # 2 x 17 GB through the tunnel and were OOM-killed at 130 GB RSS by
     # unbounded H2D staging (see qr_out_of_core docstring)
-    q, r, info = ooc.qr_out_of_core(a, "bf16", method="cholqr1",
-                                    chunk_rows=args.chunk, out=a,
-                                    metrics=True)  # in place
+    if args.checkpoint:
+        # resumable: checkpointing forbids in-place (redone chunks
+        # recompute from intact A), so Q gets its own host buffer
+        q_buf = np.empty_like(a)
+        q, r, info = ooc.qr_out_of_core(a, "bf16", method="cholqr1",
+                                        chunk_rows=args.chunk, out=q_buf,
+                                        metrics=True,
+                                        checkpoint=args.checkpoint)
+    else:
+        q, r, info = ooc.qr_out_of_core(a, "bf16", method="cholqr1",
+                                        chunk_rows=args.chunk, out=a,
+                                        metrics=True)  # in place
     t = time.perf_counter() - t0
     useful = flops_mod.qr_flops(m, n)
     orth, resid = info["orthogonality"], info["residual"]

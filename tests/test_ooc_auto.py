@@ -205,6 +205,86 @@ def test_predictive_ladder_three_regimes(kappa, want_tol):
     assert validation.residual(np.asarray(a), q64, r64) < 1e-4
 
 
+def test_ooc_checkpoint_matches_plain_and_resumes(tmp_path):
+    # (1) an uninterrupted checkpointed run must match the plain path
+    # bitwise (the recompute-from-A chain pays identical io-dtype
+    # rounding to the stored-Q path); (2) killing the run at chunk
+    # boundaries across every phase (gram passes, chain extensions, the
+    # Q pass) and resuming must reproduce the same result; (3) the
+    # checkpoint file is removed on completion
+    rng = np.random.default_rng(9)
+    a = rng.uniform(-1, 1, (4096, 48)).astype(np.float32)
+    ref_q, ref_r, ref_info = ooc.qr_out_of_core(
+        a, "fp32", method="cholqr3", chunk_rows=512, metrics=True)
+
+    ck = tmp_path / "ck.npz"
+    out = np.empty_like(a)
+    q, r, info = ooc.qr_out_of_core(a, "fp32", method="cholqr3",
+                                    chunk_rows=512, metrics=True,
+                                    out=out, checkpoint=ck)
+    assert not ck.exists()
+    assert np.array_equal(q, ref_q)
+    assert np.array_equal(r, ref_r)
+    assert abs(info["orthogonality"] - ref_info["orthogonality"]) < 1e-12
+    assert abs(info["residual"] - ref_info["residual"]) < 1e-12
+
+    # 8 chunks/pass, cholqr3 checkpointed = 3 gram passes + 2 chain
+    # extensions + 1 Q pass = 34 steps; hit every phase
+    for k in (1, 9, 17, 26, 33):
+        ck2 = tmp_path / f"ck{k}.npz"
+        out2 = np.empty_like(a)
+        with pytest.raises(ooc.OOCInterrupted):
+            ooc.qr_out_of_core(a, "fp32", method="cholqr3",
+                               chunk_rows=512, metrics=True, out=out2,
+                               checkpoint=ck2, _fault_after=k)
+        assert ck2.exists()
+        q2, r2, info2 = ooc.qr_out_of_core(a, "fp32", method="cholqr3",
+                                           chunk_rows=512, metrics=True,
+                                           out=out2, checkpoint=ck2)
+        assert np.array_equal(q2, ref_q), f"resume at step {k}"
+        assert np.array_equal(r2, ref_r), f"resume at step {k}"
+        assert abs(info2["orthogonality"]
+                   - ref_info["orthogonality"]) < 1e-12
+
+    # double interruption: crash, resume-and-crash again, then finish
+    ck3 = tmp_path / "ck3.npz"
+    out3 = np.empty_like(a)
+    with pytest.raises(ooc.OOCInterrupted):
+        ooc.qr_out_of_core(a, "fp32", method="cholqr3", chunk_rows=512,
+                           metrics=True, out=out3, checkpoint=ck3,
+                           _fault_after=5)
+    with pytest.raises(ooc.OOCInterrupted):
+        ooc.qr_out_of_core(a, "fp32", method="cholqr3", chunk_rows=512,
+                           metrics=True, out=out3, checkpoint=ck3,
+                           _fault_after=12)
+    q3, r3, _ = ooc.qr_out_of_core(a, "fp32", method="cholqr3",
+                                   chunk_rows=512, metrics=True,
+                                   out=out3, checkpoint=ck3)
+    assert np.array_equal(q3, ref_q) and np.array_equal(r3, ref_r)
+
+
+def test_ooc_checkpoint_guards(tmp_path):
+    rng = np.random.default_rng(10)
+    a = rng.uniform(-1, 1, (1024, 16)).astype(np.float32)
+    ck = tmp_path / "g.npz"
+    # in-place (out aliasing a) cannot be checkpointed
+    with pytest.raises(ValueError):
+        ooc.qr_out_of_core(a, "fp32", method="cholqr1", chunk_rows=256,
+                           out=a, checkpoint=ck)
+    # a checkpoint from one config must be refused by another
+    out = np.empty_like(a)
+    with pytest.raises(ooc.OOCInterrupted):
+        ooc.qr_out_of_core(a, "fp32", method="cholqr2", chunk_rows=256,
+                           out=out, checkpoint=ck, _fault_after=2)
+    with pytest.raises(ValueError):
+        ooc.qr_out_of_core(a, "fp32", method="cholqr2", chunk_rows=128,
+                           out=out, checkpoint=ck)  # different chunking
+    with pytest.raises(ValueError):
+        ooc.qr_out_of_core(a[::-1].copy(), "fp32", method="cholqr2",
+                           chunk_rows=256, out=out,
+                           checkpoint=ck)  # different input
+
+
 def test_predictive_kappa2_estimate_dominates():
     # the tier-0 bound must never under-report kappa_2(A)^2 (the
     # power-compounded PSD inf-norm argument in _psd_norm2_bound's

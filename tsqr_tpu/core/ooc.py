@@ -20,6 +20,8 @@ difference norms chunk-wise on device with Kahan compensation.
 
 from __future__ import annotations
 
+import os
+import pathlib
 from typing import Callable
 
 import numpy as np
@@ -32,6 +34,14 @@ from tsqr_tpu import modes
 from tsqr_tpu.core import cholqr
 
 Array = jax.Array
+
+
+class OOCInterrupted(RuntimeError):
+    """Raised by the fault-injection hook after a checkpoint was saved —
+    the OOC analogue of the reference's numerical fault injection
+    (experimental.cu min_exponent): a controlled failure at an exact
+    chunk boundary, used to test that resume reproduces the
+    uninterrupted run."""
 
 
 def _chunks(m: int, chunk: int):
@@ -184,6 +194,8 @@ def qr_out_of_core(a: np.ndarray,
                    chunk_rows: int = 1 << 20,
                    out: np.ndarray | None = None,
                    metrics: bool = False,
+                   checkpoint: str | os.PathLike | None = None,
+                   _fault_after: int | None = None,
                    ) -> tuple[np.ndarray, np.ndarray] | tuple[
                        np.ndarray, np.ndarray, dict]:
     """Thin QR of a host-resident (m, n) array, streamed through the chip.
@@ -213,6 +225,26 @@ def qr_out_of_core(a: np.ndarray,
     m=2^26 residual pass grew to 130 GB RSS and was OOM-killed).  The
     sync bounds host memory at ~one chunk per step for ~30 ms/chunk —
     noise against the ~50 s/chunk transfer itself.
+
+    ``checkpoint=<path>`` makes the factorization RESUMABLE across
+    process death (a beyond-HBM pass through the 0.04 GB/s test tunnel
+    runs ~10-30 min and the tunnel wedges intermittently — a wedge cost
+    a completed 33-min m=2^26 run in round 3; the reference's closest
+    posture is per-row CSV flushing, test.cu:228).  Design: a chunk that
+    may have been partially written can only be redone from an INTACT
+    source, so under checkpointing every pass derives its input chunk
+    from immutable ``a`` through the stored per-iteration R^-1 chain
+    with the same io-dtype rounding — bit-identical to the sequential
+    pass over the stored Q, and the same recompute trade the fused
+    compact/turbo pipelines make in HBM.  Consequences: (1) the
+    checkpoint stores only (n, n) accumulators + progress markers
+    (~0.5 MB, atomically replaced after every chunk); (2) intermediate
+    Q-write passes vanish — checkpointed cholqr{1,2,3} move
+    {3,6,9}->{3,4,5} A-sized transfers; (3) ``out`` must not alias
+    ``a`` and should be disk-backed (np.memmap) for cross-process
+    resume.  On completion the checkpoint file is removed.
+    ``_fault_after=k`` raises OOCInterrupted after the k-th chunk step
+    (fault injection for the resume tests).
     """
     policy = modes.resolve(mode)
     m, n = a.shape
@@ -247,34 +279,144 @@ def qr_out_of_core(a: np.ndarray,
     r_total = np.eye(n, dtype=np.float32)
     qtq = comp_q = d2 = a2 = None
 
-    for it in range(n_iters):
+    # ---- checkpoint plumbing (every hook no-ops when checkpoint=None) --
+    use_ck = checkpoint is not None
+    state = None
+    if use_ck:
+        if out is None or out is a:
+            raise ValueError(
+                "checkpointing needs a separate (ideally disk-backed) "
+                "`out`: a possibly-partially-written chunk can only be "
+                "redone from an intact `a`")
+        ckpath = pathlib.Path(checkpoint)
+        header = np.array([m, n, n_iters, chunk_rows, int(metrics)],
+                          np.int64)
+        fp_row0 = np.asarray(a[0], np.float32)  # wrong-input resume guard
+        if ckpath.exists():
+            z = np.load(ckpath, allow_pickle=False)
+            if (not np.array_equal(z["header"], header)
+                    or str(z["mode"]) != policy.mode.value
+                    or not np.array_equal(z["fp_row0"], fp_row0)):
+                raise ValueError(f"checkpoint {ckpath} does not match "
+                                 "this call's inputs/config")
+            state = {k: z[k] for k in z.files}
+
+    steps = 0
+    _zn = np.zeros((n, n), np.float32)
+
+    def _save(it, phase, next_lo, g_a, comp_a, r_a, rinvs_np):
+        # atomic (tmp + rename) after EVERY chunk; ~0.5 MB of (n, n)
+        # accumulators — noise against a multi-second chunk transfer
+        nonlocal steps
+        if not use_ck:
+            return
+        tmp = ckpath.with_suffix(".tmp.npz")
+        np.savez(
+            tmp, header=header, mode=np.asarray(policy.mode.value),
+            fp_row0=fp_row0, it=np.int64(it), phase=np.int64(phase),
+            chunk=np.int64(next_lo),
+            g=np.asarray(g_a, np.float32),
+            comp=np.asarray(comp_a, np.float32),
+            r=np.asarray(r_a, np.float32),
+            r_total=np.asarray(r_total, np.float32),
+            rinvs=(np.stack(rinvs_np) if rinvs_np
+                   else np.zeros((0, n, n), np.float32)),
+            qtq=np.asarray(qtq if qtq is not None else 0.0, np.float32),
+            comp_q=np.asarray(comp_q if comp_q is not None else 0.0,
+                              np.float32),
+            d2=np.asarray(d2 if d2 is not None else 0.0, np.float32),
+            a2=np.asarray(a2 if a2 is not None else 0.0, np.float32))
+        os.replace(tmp, ckpath)
+        steps += 1
+        if _fault_after is not None and steps >= _fault_after:
+            raise OOCInterrupted(f"injected fault after {steps} steps")
+
+    it0 = phase0 = chunk0 = 0
+    rinvs_np: list[np.ndarray] = []
+    rinv_devs: list[Array] = []
+    if state is not None:
+        it0, phase0 = int(state["it"]), int(state["phase"])
+        chunk0 = int(state["chunk"])
+        r_total = np.asarray(state["r_total"], np.float32)
+        rinvs_np = [np.asarray(x) for x in state["rinvs"]]
+        rinv_devs = [jnp.asarray(x) for x in rinvs_np]
+
+    def _chain_chunk(lo, hi):
+        # the CURRENT iteration's input chunk, recomputed from intact A
+        # through the completed iterations' R^-1 chain — each hop pays
+        # the same io-dtype rounding the stored-Q path would have, so
+        # the values are bit-identical to the plain sequential passes
+        x = jnp.asarray(a[lo:hi])
+        for ri in rinv_devs:
+            x = qpass_fn(x, ri)
+        return x
+
+    for it in range(it0, n_iters):
         last = it == n_iters - 1
-        # --- Gram pass over host chunks (Kahan-compensated in f32) ---
-        g = jnp.zeros((n, n), jnp.float32)
-        comp = jnp.zeros((n, n), jnp.float32)
-        for lo, hi in _chunks(m, chunk_rows):
-            contrib = gram_fn(jnp.asarray(src[lo:hi]))
-            g, comp = _kahan_add(g, comp, contrib)
-            float(g[0, 0])  # backpressure (see docstring)
-        if it == 0 and method == "cholqr3":
-            # the library's shift (the old trace-based form here was up
-            # to n x over — measured 16x over on latms spectra,
-            # cholqr.py:48-64)
-            shift = cholqr._shift_value(g, m, n)
+        resume_here = state is not None and it == it0
+        if resume_here and phase0 == 1:
+            # gram phase of this iteration completed pre-crash;
+            # r_total (restored) already includes this r
+            r = np.asarray(state["r"], np.float32)
+            rinv_dev = jnp.asarray(np.asarray(
+                cholqr._rinv(jnp.asarray(r))))
         else:
-            shift = 0.0
-        r = np.asarray(cholqr._chol_r(g, shift=shift))
-        rinv_dev = jnp.asarray(np.asarray(cholqr._rinv(jnp.asarray(r))))
-        r_total = r @ r_total
+            # --- Gram pass over host chunks (Kahan-compensated f32) ---
+            if resume_here and phase0 == 0:
+                g = jnp.asarray(state["g"])
+                comp = jnp.asarray(state["comp"])
+                c0 = chunk0
+            else:
+                g = jnp.zeros((n, n), jnp.float32)
+                comp = jnp.zeros((n, n), jnp.float32)
+                c0 = 0
+            for lo, hi in _chunks(m, chunk_rows):
+                if lo < c0:
+                    continue
+                xc = _chain_chunk(lo, hi) if use_ck \
+                    else jnp.asarray(src[lo:hi])
+                contrib = gram_fn(xc)
+                g, comp = _kahan_add(g, comp, contrib)
+                float(g[0, 0])  # backpressure (see docstring)
+                _save(it, 0, hi, g, comp, _zn, rinvs_np)
+            if it == 0 and method == "cholqr3":
+                # the library's shift (the old trace-based form here was
+                # up to n x over — measured 16x over on latms spectra,
+                # cholqr.py:48-64)
+                shift = cholqr._shift_value(g, m, n)
+            else:
+                shift = 0.0
+            r = np.asarray(cholqr._chol_r(g, shift=shift))
+            rinv_dev = jnp.asarray(np.asarray(
+                cholqr._rinv(jnp.asarray(r))))
+            r_total = r @ r_total
+        if use_ck and not last:
+            # recompute mode: intermediate Q never materializes — extend
+            # the R^-1 chain instead (the pass-count saving in the
+            # docstring; the next Gram pass derives its chunks from A)
+            rinvs_np.append(np.asarray(rinv_dev))
+            rinv_devs.append(rinv_dev)
+            _save(it + 1, 0, 0, _zn, _zn, _zn, rinvs_np)
+            continue
         rt_dev = jnp.asarray(np.triu(r)) if (metrics and last) else None
         if metrics and last:
-            qtq = jnp.zeros((n, n), jnp.float32)
-            comp_q = jnp.zeros((n, n), jnp.float32)
-            d2 = jnp.zeros((), jnp.float32)
-            a2 = jnp.zeros((), jnp.float32)
+            if resume_here and phase0 == 1:
+                qtq = jnp.asarray(state["qtq"])
+                comp_q = jnp.asarray(state["comp_q"])
+                d2 = jnp.asarray(state["d2"])
+                a2 = jnp.asarray(state["a2"])
+            else:
+                qtq = jnp.zeros((n, n), jnp.float32)
+                comp_q = jnp.zeros((n, n), jnp.float32)
+                d2 = jnp.zeros((), jnp.float32)
+                a2 = jnp.zeros((), jnp.float32)
         # --- Q pass ---
+        c0 = chunk0 if (resume_here and phase0 == 1) else 0
         for lo, hi in _chunks(m, chunk_rows):
-            xc = jnp.asarray(src[lo:hi])
+            if lo < c0:
+                continue
+            xc = _chain_chunk(lo, hi) if use_ck \
+                else jnp.asarray(src[lo:hi])
             if metrics and last:
                 qc, qtq, comp_q, d2, a2 = qpass_metrics_fn(
                     xc, rinv_dev, rt_dev, qtq, comp_q, d2, a2)
@@ -283,7 +425,10 @@ def qr_out_of_core(a: np.ndarray,
             else:
                 q_host[lo:hi] = np.asarray(qpass_fn(xc, rinv_dev))
             del xc
+            _save(it, 1, hi, _zn, _zn, r, rinvs_np)
         src = q_host
+    if use_ck and ckpath.exists():
+        ckpath.unlink()  # completed — a later call starts fresh
     if not metrics:
         return q_host, np.triu(r_total)
     orth = float(jnp.linalg.norm(qtq - jnp.eye(n)) / jnp.sqrt(n * 1.0))
