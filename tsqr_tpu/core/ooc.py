@@ -451,6 +451,8 @@ def ooc_orthogonality(q: np.ndarray, chunk_rows: int = 1 << 20) -> float:
     for lo, hi in _chunks(m, chunk_rows):
         contrib = gram_fn(jnp.asarray(q[lo:hi]).astype(jnp.float32))
         g, comp = _kahan_add(g, comp, contrib)
+        float(g[0, 0])  # backpressure: unbounded eager H2D staging
+        # grew to 130 GB RSS at m=2^26 (qr_out_of_core docstring)
     return float(jnp.linalg.norm(g - jnp.eye(n)) / jnp.sqrt(n * 1.0))
 
 
@@ -473,4 +475,5 @@ def ooc_residual(a: np.ndarray, q: np.ndarray, r: np.ndarray,
     for lo, hi in _chunks(m, chunk_rows):
         d2, a2 = step(jnp.asarray(a[lo:hi]), jnp.asarray(q[lo:hi]),
                       r_dev, d2, a2)
+        float(d2)  # backpressure (see ooc_orthogonality)
     return float(jnp.sqrt(d2) / jnp.sqrt(a2))
