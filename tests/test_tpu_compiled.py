@@ -161,6 +161,24 @@ def test_predictive_ladder_compiled():
     assert float(jnp.max(jnp.abs(r - rb))) == 0.0
 
 
+def test_predictive_ladder_return_info_compiled():
+    # the fused ladder's tier tag + power-compounded kappa^2 bound in
+    # the COMPILED (Pallas tier-0 Gram) program: benign input -> tier 1
+    # with a near-1 bound; (q, r) match the info-less program bitwise
+    from tsqr_tpu.core import auto
+    a = _rand(1 << 18, 128, seed=12)
+    kw = dict(fast_method="cholqr1_fused", mid_method="cholqr3_fused",
+              mid_variant="compact")
+    q, r, info = auto.qr_auto_fused(a, "bf16x6_cor", return_info=True,
+                                    **kw)
+    assert int(info["tier"][0, 0]) == 1
+    k2 = float(info["kappa2_est"][0, 0])
+    assert 0.99 <= k2 < 20.0, k2  # uniform random: kappa ~ 2, bound ~2x
+    q0, r0 = auto.qr_auto_fused(a, "bf16x6_cor", **kw)
+    assert float(jnp.max(jnp.abs(q - q0))) == 0.0
+    assert float(jnp.max(jnp.abs(r - r0))) == 0.0
+
+
 def test_whole_tree_sb_leaves_compiled():
     # the round-2 blocker: the FULL fused TSQR tree with sublane-batched
     # Pallas leaves in one program on the chip (tsqr.cu:1064-1279 is the
