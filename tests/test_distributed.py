@@ -64,6 +64,27 @@ def test_dqr_reorth(mesh8):
     assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-5
 
 
+@pytest.mark.parametrize("n_slices,n_chips", [(2, 4), (4, 2)])
+def test_dtsqr_hier_two_level(n_slices, n_chips):
+    # the multi-slice composition: butterfly over the (ICI) chip axis
+    # inside each slice, ONE all-gather over the (DCN) slice axis; the
+    # nested tree must factor exactly (R^T R = A^T A up to fp32 noise)
+    # and match single-device R up to column signs
+    m2 = mesh_mod.make_mesh2d(n_slices, n_chips)
+    m, n = 2048, 32
+    a = _rand(m, n, seed=8)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(m2))
+    q, r = jax.jit(lambda x: dtsqr.dtsqr_hier(x, m2, "fp32",
+                                              leaf_rows=32))(ax)
+    q, r = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert q.shape == (m, n) and r.shape == (n, n)
+    assert np.allclose(np.triu(r), r)
+    assert validation.residual(a, q, r) < 1e-6
+    assert validation.orthogonality(q) < 1e-6
+    r_ref = np.linalg.qr(np.asarray(a, np.float64))[1]
+    assert np.allclose(np.abs(r), np.abs(r_ref), rtol=1e-4, atol=1e-5)
+
+
 def test_dtsqr_butterfly(mesh8):
     # pairwise ppermute R-tree (SURVEY §5 alternative, for large meshes)
     m, n = 4096, 32

@@ -133,6 +133,67 @@ def dtsqr(a: Array, mesh: Mesh,
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
 
 
+def _tsqr_shard_hier(a_shard: Array, policy: modes.Policy,
+                     slice_axis: str, chip_axis: str, n_chips: int,
+                     **tsqr_kw) -> tuple[Array, Array]:
+    """Per-shard body of the two-level tree: local fused TSQR, then a
+    butterfly R-tree over the CHIP axis (ICI: log2(chips) rounds of one
+    (n, n) payload), then ONE all-gather of the per-slice roots over the
+    SLICE axis (DCN: high latency wants the fewest rounds, so a single
+    gather + redundant (slices*n, n) root QR beats a pairwise tree
+    there) — nested TSQR composition, Q correction c_chip @ c_slice."""
+    n = a_shard.shape[1]
+    mm = policy.mm
+    q_loc, r_loc = tsqr_mod.tsqr(a_shard, _local_policy(policy), **tsqr_kw)
+    # stage 1 — ICI within the slice
+    c1, r_slice = _ici_rtree_butterfly(r_loc.astype(jnp.float32),
+                                       chip_axis, n_chips, mm)
+    # stage 2 — one DCN round across slices (r_slice is replicated
+    # within each slice, so every chip runs the redundant root QR and
+    # no Q-broadcast round-trip crosses DCN)
+    rs = lax.all_gather(r_slice, slice_axis, axis=0, tiled=True)
+    q_tree, r_top = householder.blocked_householder_qr(rs, mm=mm)
+    sidx = lax.axis_index(slice_axis)
+    c2 = lax.dynamic_slice(q_tree, (sidx * n, 0), (n, n))
+    return mm(q_loc.astype(jnp.float32), mm(c1, c2)), r_top
+
+
+def dtsqr_hier(a: Array, mesh: Mesh,
+               mode: modes.ComputeMode | str | modes.Policy = "fp32",
+               slice_axis: str = "slices", chip_axis: str = "chips",
+               **tsqr_kw) -> tuple[Array, Array]:
+    """Multi-slice distributed thin QR over a 2-D (slices, chips) mesh
+    (`mesh.make_mesh2d`): the interconnect hierarchy maps onto the TSQR
+    tree — chip-axis levels ride ICI (butterfly, latency-bound (n, n)
+    payloads), and exactly ONE all-gather crosses DCN (slices·n² bytes,
+    independent of m).  The reference has no distributed backend at
+    all (SURVEY §5); the 1-D `dtsqr` covers a single slice — this is
+    the multi-slice composition SURVEY §5 reserves DCN for.
+
+    Rows shard slice-major over both axes (`mesh.row_sharding` on a 2-D
+    mesh); Q comes back sharded like A, R (n, n) replicated."""
+    policy = modes.resolve(mode)
+    n_slices = mesh.shape[slice_axis]
+    n_chips = mesh.shape[chip_axis]
+    m, n = a.shape
+    n_dev = n_slices * n_chips
+    assert m % n_dev == 0, f"m={m} must divide over {n_dev} devices"
+    assert m // n_dev >= n, "each shard must stay tall"
+    assert n_chips & (n_chips - 1) == 0, "ICI butterfly needs 2^k chips"
+
+    fn = shard_map(
+        functools.partial(_tsqr_shard_hier, policy=policy,
+                          slice_axis=slice_axis, chip_axis=chip_axis,
+                          n_chips=n_chips, **tsqr_kw),
+        mesh=mesh,
+        in_specs=P((slice_axis, chip_axis), None),
+        out_specs=(P((slice_axis, chip_axis), None), P()),
+        check_rep=False,
+    )
+    q, r = fn(a.astype(jnp.float32))
+    return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
+
+
 def _dblockqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
                     n_dev: int, panel_width: int, reorth: bool,
                     **tsqr_kw) -> tuple[Array, Array]:

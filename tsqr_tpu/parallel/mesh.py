@@ -26,8 +26,30 @@ def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def row_sharding(mesh: Mesh, axis: str = ROWS_AXIS) -> NamedSharding:
-    """Sharding for an (m, n) operand: rows split over the mesh axis."""
+SLICE_AXIS = "slices"
+CHIP_AXIS = "chips"
+
+
+def make_mesh2d(n_slices: int, chips_per_slice: int,
+                slice_axis: str = SLICE_AXIS,
+                chip_axis: str = CHIP_AXIS) -> Mesh:
+    """2-D (slices, chips_per_slice) mesh for the hierarchical tree:
+    the chip axis rides ICI (fast, within a slice), the slice axis rides
+    DCN (slow, across slices).  On real multi-slice hardware pass
+    devices ordered so consecutive groups of ``chips_per_slice`` share a
+    slice — jax.devices() already orders by (slice, chip)."""
+    devs = jax.devices()[: n_slices * chips_per_slice]
+    assert len(devs) == n_slices * chips_per_slice, (
+        f"need {n_slices * chips_per_slice} devices, have {len(devs)}")
+    return Mesh(np.array(devs).reshape(n_slices, chips_per_slice),
+                (slice_axis, chip_axis))
+
+
+def row_sharding(mesh: Mesh, axis: str | tuple = ROWS_AXIS) -> NamedSharding:
+    """Sharding for an (m, n) operand: rows split over the mesh axis
+    (or, for a 2-D mesh, over both axes — slice-major row blocks)."""
+    if len(mesh.axis_names) > 1 and axis == ROWS_AXIS:
+        axis = tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis, None))
 
 
