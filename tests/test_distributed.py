@@ -85,6 +85,36 @@ def test_dtsqr_hier_two_level(n_slices, n_chips):
     assert np.allclose(np.abs(r), np.abs(r_ref), rtol=1e-4, atol=1e-5)
 
 
+def test_gram_psum_drivers_on_2d_mesh():
+    # every Gram-psum driver (and the flat all-gather tree) runs on a
+    # 2-D (slices, chips) mesh unchanged: psum/all_gather take the axis
+    # tuple, the linear index matches the slice-major shard order
+    m2 = mesh_mod.make_mesh2d(2, 4)
+    m, n = 2048, 32
+    a = _rand(m, n, seed=13)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(m2))
+    for name, fn in (
+        ("dcholqr", lambda x: dtsqr.dcholqr(x, m2, "fp32")),
+        ("dqr", lambda x: dtsqr.dqr(x, m2, "fp32", reorth=True,
+                                    panel_width=16, leaf_rows=32)),
+        ("dqr_auto", lambda x: dtsqr.dqr_auto(x, m2, "fp32",
+                                              leaf_rows=32)),
+        ("dtsqr", lambda x: dtsqr.dtsqr(x, m2, "fp32", leaf_rows=32)),
+    ):
+        q, r = jax.jit(fn)(ax)
+        q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+        assert validation.orthogonality(q64) < 1e-6, name
+        assert validation.residual(a, q64, r64) < 1e-6, name
+    # matrix-free: global chunk indices distribute over the linear index
+    from tsqr_tpu.core import ooc
+    gen = ooc.uniform_gen(jax.random.PRNGKey(3), 128, n,
+                          dtype=jnp.float32)
+    r, info = dtsqr.dqr_regen(gen, 2048, n, m2, "fp32", method="cholqr2",
+                              chunk_rows=128)
+    assert float(info["orthogonality"]) < 1e-5
+    assert float(info["residual"]) < 1e-5
+
+
 def test_dtsqr_butterfly(mesh8):
     # pairwise ppermute R-tree (SURVEY §5 alternative, for large meshes)
     m, n = 4096, 32

@@ -47,6 +47,38 @@ def _local_policy(policy: modes.Policy) -> modes.Policy:
                         policy.mm, policy.corrected)
 
 
+def _row_axes(mesh: Mesh, axis):
+    """Reduction axes of the row sharding.  On a multi-axis mesh (e.g.
+    make_mesh2d's (slices, chips)) rows shard over ALL axes and
+    ``lax.psum`` takes the axis tuple directly, so every Gram-psum
+    driver (dcholqr, dqr, dqr_auto) is hierarchy-agnostic — XLA lowers
+    the tuple psum into per-axis (ICI, then DCN) reduction stages."""
+    if axis == ROWS_AXIS and len(mesh.axis_names) > 1:
+        return tuple(mesh.axis_names)
+    return axis
+
+
+def _axes_size(mesh: Mesh, axis) -> int:
+    if isinstance(axis, tuple):
+        size = 1
+        for ax in axis:
+            size *= mesh.shape[ax]
+        return size
+    return mesh.shape[axis]
+
+
+def _linear_index(axis):
+    """axis_index generalized to an axis tuple: the row-major linear
+    position, matching both P((a, b), None) shard order and the
+    stacking order of ``all_gather`` over the same tuple."""
+    if not isinstance(axis, tuple):
+        return lax.axis_index(axis)
+    idx = 0
+    for ax in axis:
+        idx = idx * lax.psum(1, ax) + lax.axis_index(ax)
+    return idx
+
+
 def _ici_rtree_butterfly(r_loc: Array, axis: str, n_dev: int,
                          mm) -> tuple[Array, Array]:
     """Pairwise-exchange (butterfly) R-tree over ICI: log2(D) ``ppermute``
@@ -86,6 +118,8 @@ def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     if tree == "butterfly":
         # n_dev drives the Python-level round count, so it must be the
         # real mesh size (a wrong value silently skips reduction rounds)
+        assert not isinstance(axis, tuple), \
+            "butterfly rides ONE axis; use dtsqr_hier for 2-D meshes"
         assert n_dev >= 1 and n_dev & (n_dev - 1) == 0, \
             f"butterfly tree needs a true power-of-two device count, " \
             f"got n_dev={n_dev}"
@@ -96,7 +130,7 @@ def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     rs = lax.all_gather(r_loc.astype(jnp.float32), axis, axis=0,
                         tiled=True)                      # (D*n, n)
     q_tree, r_top = householder.blocked_householder_qr(rs, mm=mm)
-    idx = lax.axis_index(axis)
+    idx = _linear_index(axis)
     c = lax.dynamic_slice(q_tree, (idx * n, 0), (n, n))   # my (n, n) block
     q_shard = mm(q_loc.astype(jnp.float32), c)
     return q_shard, r_top
@@ -112,9 +146,13 @@ def dtsqr(a: Array, mesh: Mesh,
     tree: "allgather" (default — one all-gather + redundant (D·n, n) root
     QR; optimal at the mesh sizes a single pod slice gives) or
     "butterfly" (log2(D) pairwise ppermute rounds, (2n, n) node QRs —
-    bounds per-chip work/payload independent of D for large meshes)."""
+    bounds per-chip work/payload independent of D for large meshes).
+    A 2-D (slices, chips) mesh works with the allgather tree (one flat
+    gather over both axes); prefer dtsqr_hier there, which crosses the
+    slow DCN axis exactly once."""
     policy = modes.resolve(mode)
-    n_dev = mesh.shape[axis]
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
     m, n = a.shape
     assert m % n_dev == 0, f"m={m} must divide over {n_dev} devices"
     assert m // n_dev >= n, "each shard must stay tall"
@@ -286,9 +324,12 @@ def dcholqr(a: Array, mesh: Mesh,
             axis: str = ROWS_AXIS) -> tuple[Array, Array]:
     """Distributed MXU-native tall-skinny QR of a row-sharded (m, n):
     Q row-sharded like A, R (n, n) replicated.  Communication: two or
-    three (n, n) psums total, independent of m."""
+    three (n, n) psums total, independent of m.  On a 2-D
+    (slices, chips) mesh the psums reduce over both axes (ICI + DCN
+    stages) with no code change — pass the mesh from make_mesh2d."""
     policy = modes.resolve(mode)
-    n_dev = mesh.shape[axis]
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
     m, n = a.shape
     assert m % n_dev == 0 and m // n_dev >= n
 
@@ -397,11 +438,13 @@ def dqr_auto(a: Array, mesh: Mesh,
 
     ``return_info=True`` appends ``{"tier", "kappa2_est"}`` exactly as
     ``qr_auto_fused`` does; both values are replicated across the mesh
-    (deterministic functions of the psum'd Gram)."""
+    (deterministic functions of the psum'd Gram).  2-D (slices, chips)
+    meshes work unchanged (psum over both axes)."""
     from tsqr_tpu.core import auto
 
     policy = modes.resolve(mode)
-    n_dev = mesh.shape[axis]
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
     m, n = a.shape
     assert m % n_dev == 0 and m // n_dev >= n
     tol = auto._TOL.get(policy.mode, 1e-4)
@@ -431,9 +474,11 @@ def dqr(a: Array, mesh: Mesh,
         reorth: bool = False, panel_width: int = 128,
         axis: str = ROWS_AXIS, **tsqr_kw) -> tuple[Array, Array]:
     """Distributed BlockQR of a row-sharded (m, n), n can exceed the panel
-    width: Q row-sharded, R replicated.  ≙ mtk::qr::qr lifted to a mesh."""
+    width: Q row-sharded, R replicated.  ≙ mtk::qr::qr lifted to a mesh.
+    2-D (slices, chips) meshes work unchanged (psum over both axes)."""
     policy = modes.resolve(mode)
-    n_dev = mesh.shape[axis]
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
     m, n = a.shape
     if n > m:
         raise ValueError(f"BlockQR requires m >= n, got {a.shape}")
@@ -475,12 +520,13 @@ def dqr_regen(gen_chunk, m: int, n: int, mesh: Mesh,
     from tsqr_tpu.core import ooc
 
     policy = modes.resolve(mode)
-    n_dev = mesh.shape[axis]
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
     assert m % (chunk_rows * n_dev) == 0, (m, chunk_rows, n_dev)
     per_dev = m // chunk_rows // n_dev
 
     def shard_body():
-        d = lax.axis_index(axis)
+        d = _linear_index(axis)
 
         def local_gen(i):
             return gen_chunk(d * per_dev + i)
