@@ -17,22 +17,37 @@ Array = jax.Array
 def rsvd(a: Array, rank: int, key: Array,
          mode: modes.ComputeMode | str = "fp32",
          oversample: int = 8, power_iters: int = 1,
-         **tsqr_kw) -> tuple[Array, Array, Array]:
+         mesh=None, **tsqr_kw) -> tuple[Array, Array, Array]:
     """Randomized truncated SVD: A (m, n) ≈ U diag(s) V^T at given rank.
 
     Range finding uses TSQR (tall sketch Y = A @ Omega is exactly the
     tall-skinny shape TSQR exists for); power iterations re-orthogonalize
     with TSQR as well (Halko et al. structure, TSQR-flavored).
+
+    ``mesh``: pass a `parallel.mesh` Mesh with `a` row-sharded over it
+    to run multi-chip — the orthogonalizations route through the
+    distributed self-validating ladder (`dtsqr.dqr_auto`, one (n, n)
+    psum on the fast tier) while every matmul distributes itself: a
+    row-sharded operand makes A^T·Q / Q^T·A psum-contractions and
+    A·Z / Q·U_b local, so U comes back row-sharded like A with no
+    explicit collectives here (computation follows sharding).
     """
     m, n = a.shape
     k = min(rank + oversample, n)
     omega = jax.random.normal(key, (n, k), jnp.float32)
+
+    def _orth(y):
+        if mesh is None:
+            return tsqr_mod.tsqr(y, mode, **tsqr_kw)[0]
+        from tsqr_tpu.parallel import dtsqr
+        return dtsqr.dqr_auto(y, mesh, mode, **tsqr_kw)[0]
+
     y = modes.mm_fp32(a, omega)
-    q, _ = tsqr_mod.tsqr(y, mode, **tsqr_kw)
+    q = _orth(y)
     for _ in range(power_iters):
         z = modes.mm_fp32(a.T, q.astype(jnp.float32))
         y = modes.mm_fp32(a, z)
-        q, _ = tsqr_mod.tsqr(y, mode, **tsqr_kw)
+        q = _orth(y)
     b = modes.mm_fp32(q.astype(jnp.float32).T, a)     # (k, n)
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
     u = modes.mm_fp32(q.astype(jnp.float32), ub)
