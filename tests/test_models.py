@@ -42,6 +42,31 @@ def test_rsvd_distributed_mesh():
     assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-4
 
 
+def test_lstsq_and_svd_distributed_mesh():
+    # lstsq(mesh=) and tsqr_svd(mesh=): factorization through the
+    # distributed drivers, solves/updates local — same answers as the
+    # single-device paths
+    from tsqr_tpu.models import lstsq as lstsq_mod, svd as svd_mod
+    from tsqr_tpu.parallel import mesh as mesh_mod
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (2048, 24)).astype(np.float32)
+    x_true = rng.standard_normal(24).astype(np.float32)
+    b = a @ x_true + 1e-4 * rng.standard_normal(2048).astype(np.float32)
+    mesh = mesh_mod.make_mesh(8)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh))
+    bx = jax.device_put(jnp.asarray(b), mesh_mod.vec_sharding(mesh))
+    x = lstsq_mod.lstsq(ax, bx, "fp32", mesh=mesh, leaf_rows=64)
+    x_ref = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                            rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=2e-4)
+
+    u, s, vt = svd_mod.tsqr_svd(ax, "fp32", mesh=mesh)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4)
+    rec = np.asarray(u, np.float64) * np.asarray(s) @ np.asarray(vt)
+    assert np.linalg.norm(rec - a) / np.linalg.norm(a) < 1e-5
+
+
 def test_block_lanczos_eigenvalues():
     rng = np.random.default_rng(1)
     n = 128

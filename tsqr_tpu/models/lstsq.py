@@ -17,9 +17,18 @@ Array = jax.Array
 
 def lstsq(a: Array, b: Array,
           mode: modes.ComputeMode | str = "fp32",
-          reorth: bool = False, **qr_kw) -> Array:
-    """Solve min ||A x - b||: A (m, n) tall, b (m,) or (m, k)."""
-    q, r = blockqr.qr(a, mode, reorth=reorth, **qr_kw)
+          reorth: bool = False, mesh=None, **qr_kw) -> Array:
+    """Solve min ||A x - b||: A (m, n) tall, b (m,) or (m, k).
+
+    ``mesh``: row-shard A and b over a `parallel.mesh` Mesh to run
+    multi-chip — the factorization goes through distributed BlockQR
+    (`dtsqr.dqr`) and Q^T b contracts over the sharded axis by itself
+    (computation follows sharding); x comes back replicated."""
+    if mesh is not None:
+        from tsqr_tpu.parallel import dtsqr
+        q, r = dtsqr.dqr(a, mesh, mode, reorth=reorth, **qr_kw)
+    else:
+        q, r = blockqr.qr(a, mode, reorth=reorth, **qr_kw)
     q = q.astype(jnp.float32)
     r = r.astype(jnp.float32)
     squeeze = b.ndim == 1

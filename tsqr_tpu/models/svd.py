@@ -20,18 +20,26 @@ Array = jax.Array
 
 def tsqr_svd(a: Array,
              mode: modes.ComputeMode | str = "fp32",
-             method: str = "cholqr3") -> tuple[Array, Array, Array]:
+             method: str = "cholqr3", mesh=None) -> tuple[Array, Array,
+                                                          Array]:
     """Thin SVD of a tall-skinny (m, n): returns (U (m, n), s (n,),
     Vt (n, n)) with A = U diag(s) Vt.
 
     The small SVD runs on the (n, n) R factor in fp32 (jnp.linalg.svd);
     accuracy of the singular values is limited by the QR residual, i.e.
     the selected mode's grade.
-    """
+
+    ``mesh``: row-shard A over a `parallel.mesh` Mesh to run multi-chip
+    — the QR goes through the distributed self-validating ladder and
+    the (n, n) SVD + U = Q U_r update stay local per shard."""
     m, n = a.shape
     if m < n:
         raise ValueError(f"tsqr_svd requires m >= n, got {a.shape}")
-    q, r = cholqr.fastqr(a, mode, method=method)
+    if mesh is not None:
+        from tsqr_tpu.parallel import dtsqr
+        q, r = dtsqr.dqr_auto(a, mesh, mode)
+    else:
+        q, r = cholqr.fastqr(a, mode, method=method)
     ur, s, vt = jnp.linalg.svd(r.astype(jnp.float32), full_matrices=False)
     u = modes.mm_fp32(q.astype(jnp.float32), ur)
     return u, s, vt

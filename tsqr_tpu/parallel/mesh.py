@@ -53,5 +53,13 @@ def row_sharding(mesh: Mesh, axis: str | tuple = ROWS_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis, None))
 
 
+def vec_sharding(mesh: Mesh, axis: str | tuple = ROWS_AXIS) -> NamedSharding:
+    """Sharding for an (m,) vector (e.g. lstsq's b): split like the
+    row axis of the matrix it pairs with."""
+    if len(mesh.axis_names) > 1 and axis == ROWS_AXIS:
+        axis = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
