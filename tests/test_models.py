@@ -87,6 +87,30 @@ def test_block_lanczos_eigenvalues():
     assert abs(ritz.max() - 100) / 100 < 0.02
 
 
+def test_block_lanczos_distributed_mesh():
+    # multi-chip lanczos: basis row-sharded, orthogonalizations through
+    # the distributed ladder, GSPMD-distributed matvec — same Ritz
+    # quality as the local path
+    from tsqr_tpu.parallel import mesh as mesh_mod
+    rng = np.random.default_rng(4)
+    n = 512
+    evals = np.linspace(1, 100, n)
+    qfull = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    amat = (qfull * evals) @ qfull.T
+    mesh = mesh_mod.make_mesh(8)
+    amat_d = jax.device_put(jnp.asarray((amat + amat.T) / 2, jnp.float32),
+                            mesh_mod.row_sharding(mesh))
+
+    qb, alphas, betas = lanczos.block_lanczos(
+        lambda x: amat_d @ x, n, block=8, iters=8,
+        key=jax.random.PRNGKey(2), mesh=mesh, leaf_rows=64)
+    qb = np.asarray(qb, np.float64)
+    assert np.linalg.norm(qb.T @ qb - np.eye(qb.shape[1])) < 1e-4
+    t = qb.T @ np.asarray(amat_d, np.float64) @ qb
+    ritz = np.linalg.eigvalsh(t)
+    assert abs(ritz.max() - 100) / 100 < 0.02
+
+
 def test_tsqr_svd_matches_numpy():
     rng = np.random.default_rng(5)
     a = rng.uniform(-1, 1, (1024, 24)).astype(np.float32)

@@ -16,7 +16,7 @@ Array = jax.Array
 
 def block_lanczos(matvec, n: int, block: int, iters: int, key: Array,
                   mode: modes.ComputeMode | str = "fp32",
-                  full_reorth: bool = True,
+                  full_reorth: bool = True, mesh=None,
                   **tsqr_kw) -> tuple[Array, Array, Array]:
     """Block Lanczos tridiagonalization of a symmetric operator.
 
@@ -25,9 +25,24 @@ def block_lanczos(matvec, n: int, block: int, iters: int, key: Array,
       n: operator dimension; block: block size; iters: Lanczos steps.
     Returns (basis Q (n, block*iters), alphas (iters, b, b),
     betas (iters-1, b, b)) with Q^T A Q block-tridiagonal.
+
+    ``mesh``: run multi-chip — the basis row-shards over the mesh, the
+    per-step orthogonalizations go through the distributed ladder
+    (`dtsqr.dqr_auto`), and the Gram/projection contractions
+    self-distribute; ``matvec`` must accept (and should return) the
+    row-sharded layout (a GSPMD-compatible jnp matvec already does).
     """
+    def _orth(x):
+        if mesh is None:
+            return tsqr_mod.tsqr(x, mode, **tsqr_kw)
+        from tsqr_tpu.parallel import dtsqr
+        return dtsqr.dqr_auto(x, mesh, mode, **tsqr_kw)
+
     v0 = jax.random.normal(key, (n, block), jnp.float32)
-    q, _ = tsqr_mod.tsqr(v0, mode, **tsqr_kw)
+    if mesh is not None:
+        from tsqr_tpu.parallel import mesh as mesh_mod
+        v0 = jax.device_put(v0, mesh_mod.row_sharding(mesh))
+    q, _ = _orth(v0)
     q = q.astype(jnp.float32)
     basis = [q]
     alphas, betas = [], []
@@ -44,7 +59,7 @@ def block_lanczos(matvec, n: int, block: int, iters: int, key: Array,
         alphas.append(alpha)
         if it + 1 == iters:
             break
-        q_next, beta = tsqr_mod.tsqr(w, mode, **tsqr_kw)
+        q_next, beta = _orth(w)
         q_next = q_next.astype(jnp.float32)
         betas.append(beta.astype(jnp.float32))
         q_prev, b_prev = q, betas[-1]
