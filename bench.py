@@ -94,6 +94,35 @@ def run(m: int, n: int, k: int) -> dict:
     }
 
 
+def probe_tunnel(timeout_s: float = 240.0) -> bool:
+    """Fail-fast tunnel health check: a 1-element device op in a fresh
+    subprocess with a short timeout.  The tunnel's known failure mode is
+    a WEDGE (trivial ops hang forever — CLAUDE.md); without this probe a
+    wedged tunnel serially burns every fallback config into the driver's
+    timeout (BENCH_r03 rc=124).  A probe timeout turns that into a fast,
+    diagnosable failure with time left for retries."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print('probe-ok', float(jnp.ones((8, 8)).sum()),"
+             " jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: tunnel probe TIMED OUT after {timeout_s:.0f}s "
+              "(tunnel wedged)", file=sys.stderr, flush=True)
+        return False
+    if p.returncode != 0:
+        print(f"bench: tunnel probe failed rc={p.returncode}: "
+              f"{p.stderr.strip().splitlines()[-1] if p.stderr else ''}",
+              file=sys.stderr, flush=True)
+        return False
+    print(f"bench: tunnel probe ok ({p.stdout.strip()})", file=sys.stderr,
+          flush=True)
+    return True
+
+
 def main():
     # a device OOM POISONS the process (every later allocation fails —
     # CLAUDE.md), so each fallback config must run in a FRESH process:
@@ -105,12 +134,29 @@ def main():
         return
 
     import subprocess
+    import time
+    # fail fast on a wedged tunnel, with a few spaced retries (a wedge
+    # sometimes clears within minutes)
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    for attempt in range(retries):
+        if probe_tunnel():
+            break
+        if attempt + 1 < retries:
+            print(f"bench: probe retry {attempt + 2}/{retries} in 120 s",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+    else:
+        print("bench: TPU tunnel is wedged — aborting fast (no number "
+              "this run; the official record stands)", file=sys.stderr,
+              flush=True)
+        sys.exit(3)
+
     last = None
     for m, k in ((1 << 21, 4), (1 << 20, 6), (1 << 20, 3)):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
              str(m), str(k)],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=1800)
         sys.stderr.write(p.stderr)
         if p.returncode == 0 and p.stdout.strip():
             print(p.stdout.strip().splitlines()[-1])

@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Weak-scaling table for the distributed drivers on a forced CPU mesh.
+"""CPU-mesh wall-clock for the distributed drivers (CORRECTNESS ONLY).
 
 Fixed per-device shard (m/D rows); D = 1, 2, 4, 8 virtual host devices.
-Writes data/dweak.csv.  Communication claim under test (dtsqr.py:22-24):
-cross-chip traffic is D*n^2 (allgather) / log2(D) * n^2 (butterfly) /
-2-3 n^2 psums (dcholqr) — INDEPENDENT of m — so weak-scaling time should
-stay ~flat in D up to collective overheads.
+Writes data/dweak.csv.  NOT scaling evidence: the virtual devices
+time-share one host core, so elapsed time GROWS with D from simulation
+overhead — it says nothing about communication behavior on a real mesh.
+The communication claim (cross-chip traffic ~D*n^2 allgather /
+~log2(D)*n^2 butterfly / 2-3 n^2 psums dcholqr, independent of m) is
+proven hardware-independently by scripts/run_wire_bytes.py →
+data/dwire.csv, which counts collective bytes in the compiled HLO.
 
 Each D runs in a subprocess (the host-device-count XLA flag is parsed
 exactly once per process).

@@ -3,10 +3,12 @@
 ≙ the reference's PROFILE_BREAKDOWN[_CSV] compile-time switches
 (blockqr.cu:6-7, 70-174, 363-385: chrono + stream syncs timing the
 GEMM-0 / GEMM-1 / TSQR phases and printing a percentage breakdown), and
-MEASURE_QR_TIME (tsqr.cu:24).  On TPU the phases are timed as separately
-jitted programs at the same shapes (XLA fuses the real run more
-aggressively, so this is an upper bound on phase cost), plus an optional
-``jax.profiler`` trace for the real fused program.
+MEASURE_QR_TIME (tsqr.cu:24).  On TPU the phases of one fused program
+cannot be clocked in-line, so each breakdown here is measured by REAL
+-program ablation: the full program is timed against variants with one
+phase ablated (see :func:`blockqr_breakdown`), so each phase cost is
+what XLA actually scheduled for it.  An optional ``jax.profiler`` trace
+covers the real fused program.
 """
 
 from __future__ import annotations
