@@ -156,6 +156,50 @@ def robust():
             f.write(f"# error ladder[pred/x6]: {exc_note(e)}\n")
         f.flush()
 
+    # the bench.py headline config (2^21 x 128, K=4) — in a FRESH
+    # subprocess (an OOM there must not poison this section's process),
+    # appended last so the row maps 1:1 to what BENCH_r04 measures
+    import subprocess
+    code = f"""
+import sys
+sys.path.insert(0, {str(ROOT)!r})
+import jax, jax.numpy as jnp
+from tsqr_tpu.core import auto
+from tsqr_tpu.harness import flops as flops_mod
+from tsqr_tpu.utils import timing, validation
+m_l, n, k_l = 1 << 21, 128, 4
+keys = jax.random.split(jax.random.PRNGKey(0), k_l)
+xs = tuple(jax.random.uniform(kk, (m_l, n), jnp.float32, -1, 1)
+           for kk in keys)
+lfn = lambda x: auto.qr_auto_fused(x, "bf16x6_cor",
+                                   fast_method="cholqr1_fused",
+                                   mid_method="cholqr3_fused",
+                                   mid_variant="compact")
+q, r = jax.jit(lfn)(xs[0])
+orth = validation.orthogonality_accurate(q)
+del q, r
+t = timing.time_fn_distinct(lfn, xs, reps=3)
+ufl = flops_mod.qr_flops(m_l, n)
+print(f"ROW ladder[pred/x6/bench],{{m_l}},{{n}},{{t:.6e}},"
+      f"{{ufl/t/1e12:.3f}},{{orth:.3e}},distinct_k={{k_l}}", flush=True)
+"""
+    with open(DATA / "robust.csv", "a") as f:
+        try:
+            res = subprocess.run([sys.executable, "-u", "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=1800, env=dict(os.environ))
+            rows = [ln[4:] for ln in res.stdout.splitlines()
+                    if ln.startswith("ROW ")]
+            if not rows:
+                raise RuntimeError(f"exit={res.returncode} "
+                                   f"stderr={res.stderr.strip()[-300:]}")
+            f.write(rows[-1] + "\n")
+            print(f"robust bench-config: {rows[-1]}", file=sys.stderr,
+                  flush=True)
+        except Exception as e:
+            f.write(f"# error ladder[pred/x6/bench]: {exc_note(e)}\n")
+        f.flush()
+
 
 def ladder():
     """Decision boundary of the PREDICTIVE ladder (VERDICT r2 item 8).

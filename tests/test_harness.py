@@ -146,16 +146,28 @@ def test_accuracy_row_device_metrics_at_scale():
     assert row["residual"] < 1e-6
 
 
-def test_mfu_row_rejects_unmodelable_config():
-    # mfu_row's pass/byte models describe the FUSED pipelines only; a
-    # non-fused or out-of-range config must raise, not print a row whose
-    # cost model describes a pipeline that never ran
+def test_mfu_row_rejects_out_of_range_fused_config():
+    # the fused pass/byte models describe the streaming pipelines only: a
+    # *_fused config outside the kernels' n-range must raise (the method
+    # would silently delegate to XLA, so the fused cost model would
+    # describe a pipeline that never ran).  sweep() catches this and
+    # re-measures the XLA sibling under its own model.
     from tsqr_tpu.harness import mfu
     import pytest
     with pytest.raises(ValueError):
-        mfu.mfu_row(1 << 14, 64, "fp32", "cholqr2")
-    with pytest.raises(ValueError):
         mfu.mfu_row(1 << 14, 16, "fp32", "cholqr2_fused")
+
+
+def test_mfu_row_xla_path_has_own_model():
+    # non-fused methods get the XLA pass/byte model (VERDICT r3 weak #8:
+    # the corrected n=2048 envelope needs measured rows where the fused
+    # kernels delegate).  The byte model is a deliberate lower bound, so
+    # the physics flag must stay conservative on CPU too.
+    from tsqr_tpu.harness import mfu
+    row = mfu.mfu_row(1 << 12, 64, "fp32", "cholqr2")
+    assert row["method"] == "cholqr2"
+    assert row["method_tflops"] > 0
+    assert np.isfinite(row["hbm_gbps"])
 
 
 def test_time_fn_distinct_smoke():

@@ -98,6 +98,33 @@ def fused_hbm_bytes(m: int, n: int, mode: str, method: str,
     raise ValueError(method)
 
 
+def xla_mxu_passes(mode: str, method: str) -> int:
+    """MXU passes of the NON-fused (XLA) CholeskyQR paths.
+
+    Each gram/dot under a corrected policy executes DOT_PASSES[mode]
+    m-scale products (modes.gram's split products and policy.mm's split
+    matmul both count d; fp32 HIGHEST decomposes to 6 in-MXU).  The
+    ladder of methods is cholqr1 = gram+dot, cholqr2 = 2x, cholqr3 = 3x.
+    """
+    d = DOT_PASSES[mode]
+    steps = {"cholqr1": 2, "cholqr2": 4, "cholqr3": 6}[method]
+    return steps * d
+
+
+def xla_hbm_bytes(m: int, n: int, mode: str, method: str) -> int:
+    """MINIMAL algorithmic m-scale traffic of the XLA paths: each
+    gram reads its input once, each Q-pass reads its input and writes
+    its output.  Deliberately a LOWER bound — XLA additionally
+    materializes the bf16 split parts for corrected modes, so the
+    implied hbm_gbps UNDER-states true traffic and the bw_exceeds_spec
+    physics flag stays conservative.  (At the n=2048 shapes this model
+    serves, the pipelines are MXU-pass-bound and the implied bandwidth
+    is far below spec regardless.)"""
+    io = 2 if mode == "bf16" else 4
+    touches = {"cholqr1": 3, "cholqr2": 6, "cholqr3": 9}[method]
+    return io * m * n * touches
+
+
 def blockqr_flops(m: int, n: int, panel_width: int,
                   leaf_rows: int = tsqr_mod.DEFAULT_LEAF_ROWS,
                   fanin: int = tsqr_mod.DEFAULT_FANIN,
