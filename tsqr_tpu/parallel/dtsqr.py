@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tsqr_tpu import modes
 from tsqr_tpu.core import tsqr as tsqr_mod
@@ -165,7 +165,7 @@ def dtsqr(a: Array, mesh: Mesh,
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
@@ -226,7 +226,7 @@ def dtsqr_hier(a: Array, mesh: Mesh,
         mesh=mesh,
         in_specs=P((slice_axis, chip_axis), None),
         out_specs=(P((slice_axis, chip_axis), None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
@@ -339,7 +339,7 @@ def dcholqr(a: Array, mesh: Mesh,
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
@@ -459,7 +459,7 @@ def dqr_auto(a: Array, mesh: Mesh,
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     if return_info:
         q, r, tier, k2 = fn(a.astype(jnp.float32))
@@ -493,7 +493,7 @@ def dqr(a: Array, mesh: Mesh,
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     q, r = fn(a.astype(jnp.float32))
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
@@ -536,6 +536,6 @@ def dqr_regen(gen_chunk, m: int, n: int, mesh: Mesh,
             reduce=lambda x: lax.psum(x, axis))
 
     fn = shard_map(shard_body, mesh=mesh, in_specs=(),
-                   out_specs=(P(), P(), P(), P()), check_rep=False)
+                   out_specs=(P(), P(), P(), P()), check_vma=False)
     r, orth, resid, rinv = jax.jit(fn)()
     return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
