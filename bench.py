@@ -9,7 +9,7 @@ Config: M=2^21 with K=4 distinct resident inputs (falls back to 2^20/K=6
 if the chip's HBM is contended), N=128 (BASELINE.md target shape),
 bf16x6_cor — the reference's headline fp32_tc_cor accuracy class.
 
-The measured program is the 3-tier PREDICTIVE ladder
+The measured program is the 4-tier PREDICTIVE ladder
 (core/auto.qr_auto_fused): a shared streaming Gram whose Cholesky yields
 both tier-1's factor and a rigorous kappa^2(A) upper bound (inf-norms of
 the PSD G and G^-1 dominate the spectral norms), the robust shifted
@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(m: int, n: int, k: int) -> dict:
+def run(m: int, n: int, k: int, iter_tier: bool = True) -> dict:
     from tsqr_tpu.core import auto
     from tsqr_tpu.harness import flops as flops_mod
     from tsqr_tpu.utils import timing
@@ -60,7 +60,8 @@ def run(m: int, n: int, k: int) -> dict:
             x, mode,
             fast_method="cholqr1_fused" if on_tpu else "cholqr1",
             mid_method="cholqr3_fused" if on_tpu else "cholqr3",
-            mid_variant="compact" if on_tpu else "safe")
+            mid_variant="compact" if on_tpu else "safe",
+            iter_tier=iter_tier)
 
     # accuracy gate first (fp32-grade orthogonality required).  Measured
     # with the Kahan-compensated streaming Gram (a naive fp32 device Gram
@@ -130,7 +131,8 @@ def main():
     if "--single" in sys.argv:
         i = sys.argv.index("--single")
         m, k = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        print(json.dumps(run(m, 128, k)))
+        print(json.dumps(run(m, 128, k,
+                             iter_tier="--no-iter" not in sys.argv)))
         return
 
     import subprocess
@@ -152,19 +154,24 @@ def main():
         sys.exit(3)
 
     last = None
-    for m, k in ((1 << 21, 4), (1 << 20, 6), (1 << 20, 3)):
+    # the final entry drops the ladder's iterated (while_loop) tier —
+    # the compile-safety valve in case that program class ever fails to
+    # compile through the tunnel's remote-compile helper
+    configs = ((1 << 21, 4, ()), (1 << 20, 6, ()), (1 << 20, 3, ()),
+               (1 << 21, 4, ("--no-iter",)), (1 << 20, 6, ("--no-iter",)))
+    for m, k, extra in configs:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
-             str(m), str(k)],
+             str(m), str(k), *extra],
             capture_output=True, text=True, timeout=1800)
         sys.stderr.write(p.stderr)
         if p.returncode == 0 and p.stdout.strip():
             print(p.stdout.strip().splitlines()[-1])
             return
         last = p
-        print(f"bench: m={m} K={k} failed (rc={p.returncode}); "
-              f"retrying smaller in a fresh process", file=sys.stderr,
-              flush=True)
+        print(f"bench: m={m} K={k}{' no-iter' if extra else ''} failed "
+              f"(rc={p.returncode}); retrying in a fresh process",
+              file=sys.stderr, flush=True)
     print("bench: every fallback size failed", file=sys.stderr, flush=True)
     sys.exit(last.returncode if last else 1)
 

@@ -19,7 +19,7 @@ import matplotlib.pyplot as plt
 import plot_common
 
 TIER_COLORS = {"fast": "#2ca02c", "robust": "#1f77b4",
-               "householder": "#d62728"}
+               "iter": "#9467bd", "householder": "#d62728"}
 
 
 def main():

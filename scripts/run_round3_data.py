@@ -243,7 +243,7 @@ def ladder():
                 a = xs[0]
                 q, r, info = fn_info(a)
                 k2 = float(info["kappa2_est"][0, 0])
-                tier = {1: "fast", 2: "robust", 3: "householder"}[
+                tier = {1: "fast", 2: "robust", 3: "iter", 4: "householder"}[
                     int(info["tier"][0, 0])]
                 orth = validation.orthogonality_accurate(q)
                 resid = float(validation.residual_device_chunked(a, q, r))

@@ -37,19 +37,32 @@ def test_cholqr3_survives_ill_conditioning():
     assert validation.residual(np.asarray(a), q, np.asarray(r)) < 2e-4
 
 
-def test_auto_routes_extreme_cond_to_householder():
-    # kappa=1e6 is beyond any fixed-pass fp32 Gram method (the fp32 Gram's
-    # noise floor swallows sigma^2 < eps*||G||); qr_auto must detect the
-    # miss on device and fall back to the Householder tree
+def test_auto_routes_extreme_cond_past_fixed_gram():
+    # kappa=1e6 is beyond any FIXED-pass fp32 Gram method; qr_auto must
+    # detect the miss on device and escalate — since round 4 the next
+    # rung is the ITERATED shifted CholeskyQR (dynamic pass count), so
+    # the reflector tree is no longer needed for merely-large kappa
     from tsqr_tpu.core import auto
     key = jax.random.PRNGKey(1)
     a, measured = latms.rand_matrix_with_cond(key, 2048, 48, 1e6)
     assert measured > 0.9e6
     q, r, method = auto.qr_auto(a, "fp32", leaf_rows=256)
-    assert method == "blockqr_tsqr"
+    assert method == "cholqr_iter"
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(np.asarray(a), q, np.asarray(r)) < 1e-3
+
+
+def test_auto_routes_pathological_to_householder():
+    # an exactly-zero column defeats every Gram method's measured gate;
+    # qr_auto must still fall all the way back to the Householder tree
+    from tsqr_tpu.core import auto
+    rng = np.random.default_rng(2)
+    a = rng.uniform(-1, 1, (2048, 48)).astype(np.float32)
+    a[:, 17] = 0.0
+    q, r, method = auto.qr_auto(jnp.asarray(a), "fp32", leaf_rows=256)
+    assert method == "blockqr_tsqr"
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-5
 
 
 def test_cholqr2_corrected_mode():
@@ -232,3 +245,85 @@ def test_gram_pallas_matches_modes_gram():
                                        modes_mod.resolve(mode)))
         np.testing.assert_allclose(g1, g2, rtol=0,
                                    atol=5e-5 * np.abs(g2).max())
+
+
+# ---- iterated shifted CholeskyQR (the deep-kappa Gram method) ----
+
+
+@pytest.mark.parametrize("kappa", [1.0, 1e4, 1e6])
+def test_cholqr_iter_xla_deep_kappa(kappa):
+    # the while_loop of shifted passes must converge to eps-grade
+    # orthogonality far beyond cholqr3's ~2e4 contract (measured
+    # contraction ~2.3x per shifted pass; see cholqr_iter docstring)
+    m, n = 4096, 96
+    if kappa == 1.0:
+        a = jnp.asarray(_rand(m, n, seed=3))
+    else:
+        a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(int(kappa)),
+                                           m, n, kappa)
+    q, r = cholqr.cholqr_iter(a, "fp32")
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.allclose(np.triu(r64), r64)
+    assert validation.orthogonality(q64) < 1e-6
+    assert validation.residual(np.asarray(a, np.float64), q64, r64) < 1e-5
+
+
+@pytest.mark.parametrize("kappa", [1e4, 1e6])
+def test_cholqr_iter_fused_interpret_deep_kappa(kappa):
+    # the streaming variant: same convergence, plus the free in-pass
+    # Q-Gram gate must report the same accuracy grade as the true
+    # orthogonality (it is the ladder's tier-3 acceptance signal)
+    m, n = 4096, 96
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(int(kappa) + 1),
+                                       m, n, kappa)
+    q, r, gq = cholqr.cholqr_iter_fused(a, "bf16x6_cor", interpret=True,
+                                        return_qgram=True)
+    q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    gate = float(jnp.linalg.norm(gq - jnp.eye(n)) / jnp.sqrt(n * 1.0))
+    assert validation.orthogonality(q64) < 1e-6
+    assert gate < 1e-6
+    assert validation.residual(np.asarray(a, np.float64), q64, r64) < 1e-5
+
+
+def test_cholqr_iter_benign_skips_loop():
+    # a well-conditioned input must clear the polish threshold at the
+    # initial bound, so the loop body never runs and the result is
+    # plain CholeskyQR2 accuracy
+    a = jnp.asarray(_rand(2048, 64, seed=11))
+    q, r = cholqr.cholqr_iter(a, "fp32")
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-6
+
+
+def test_cholqr_iter_g1_hook_matches():
+    # supplying the precomputed Gram (the ladder's tier-0 hook) must
+    # not change the result
+    from tsqr_tpu import modes as modes_mod
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(77), 2048, 64,
+                                       1e5)
+    pol = modes_mod.resolve("fp32")
+    g = modes_mod.gram(a.astype(jnp.float32), pol)
+    q0, r0 = cholqr.cholqr_iter(a, "fp32")
+    q1, r1 = cholqr.cholqr_iter(a, "fp32", g1=g)
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+def test_cholqr_iter_cheap_modes_raise():
+    a = jnp.asarray(_rand(512, 64))
+    with pytest.raises(ValueError):
+        cholqr.cholqr_iter(a, "bf16")
+    with pytest.raises(ValueError):
+        cholqr.cholqr_iter_fused(a, "bf16_nocor", interpret=True)
+
+
+def test_cholqr_iter_max_shifted_bounds_work():
+    # an exactly rank-deficient input cannot be contracted: the loop
+    # must exit at max_shifted (not hang), and the result is still a
+    # VALID factorization (rounding noise seeds the null directions,
+    # exactly as Householder's arbitrary completion does) OR NaN —
+    # either way the ladder's measured gate decides; what matters here
+    # is termination and no exception
+    b = _rand(1024, 32, seed=13)
+    a = jnp.asarray(np.concatenate([b, b], axis=1))  # exact rank 32
+    q, r = cholqr.cholqr_iter(a, "fp32", max_shifted=3)
+    assert q.shape == (1024, 64) and r.shape == (64, 64)

@@ -224,6 +224,21 @@ def test_dqr_auto_return_info_tier(mesh8):
     assert int(info2["tier"][0, 0]) == 2
     assert validation.orthogonality(np.asarray(q2, np.float64)) < 1e-5
 
+    # kappa ~1e6 defeats shifted CholQR3's measured gate -> tier 3, the
+    # distributed ITERATED rung (psum'd Gram while_loop; same compiled
+    # program — the tier is a data-dependent lax.cond, not a recompile)
+    a3, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(33), 2048, 32,
+                                        1e6)
+    ax3 = jax.device_put(a3, mesh_mod.row_sharding(mesh8))
+    q3, r3, info3 = dtsqr.dqr_auto(ax3, mesh8, "fp32", leaf_rows=64,
+                                   return_info=True)
+    assert int(info3["tier"][0, 0]) in (2, 3)  # gate is measured: either
+    # rung may honestly accept this draw, but never the Householder tier
+    q3_64 = np.asarray(q3, np.float64)
+    assert validation.orthogonality(q3_64) < 1e-5
+    assert validation.residual(np.asarray(a3, np.float64), q3_64,
+                               np.asarray(r3, np.float64)) < 1e-4
+
 
 def test_dqr_auto_fast_tier_matches_dcholqr1_math(mesh8):
     # well-conditioned input lands tier 1 = distributed cholqr1 from the

@@ -186,10 +186,11 @@ def test_auto_fused_robust_branch():
 @pytest.mark.parametrize("kappa,want_tol", [(1.0, 1e-6), (1e4, 1e-6),
                                             (1e7, 1e-6)])
 def test_predictive_ladder_three_regimes(kappa, want_tol):
-    # the full 3-tier predictive ladder (cholqr1 -> cholqr3 -> the
-    # Householder tree) must deliver fp32-grade orthogonality at every
-    # conditioning regime — kappa ~ 1 lands tier 1, ~1e4 tier 2 (within
-    # shifted-CholeskyQR3 coverage), ~1e7 tier 3
+    # the full predictive ladder (cholqr1 -> cholqr3 -> iterated
+    # shifted cholqr -> the Householder tree) must deliver fp32-grade
+    # orthogonality at every conditioning regime — kappa ~ 1 lands
+    # tier 1, ~1e4 tier 2 (within shifted-CholeskyQR3 coverage), ~1e7
+    # the iterated rung (or deeper, wherever the measured gates route)
     if kappa == 1.0:
         rng = np.random.default_rng(7)
         a = jnp.asarray(rng.uniform(-1, 1, (4096, 96)).astype(np.float32))
@@ -314,9 +315,12 @@ def test_predictive_kappa2_estimate_dominates():
 def test_qr_auto_fused_return_info_tiers():
     # the fused ladder's tier tag must report the rung that actually
     # ran: benign -> 1 (fast CholQR), kappa ~1e3 -> 2 (robust shifted
-    # CholQR3), rank-deficient -> 3 (Householder; NaN Cholesky falls
-    # all the way through) — and the (q, r) outputs must match the
-    # info-less program exactly
+    # CholQR3), exactly rank-deficient -> 3 (the iterated rung's
+    # rounding noise seeds the null directions into a valid orthonormal
+    # completion, exactly as Householder's arbitrary completion would),
+    # zeroed-column input -> 4 (nothing Gram-based passes a measured
+    # gate; NaN Cholesky falls all the way through to Householder) —
+    # and the (q, r) outputs must match the info-less program exactly
     kw = dict(fast_method="cholqr1", mid_method="cholqr3",
               mid_variant="safe", leaf_rows=512)
 
@@ -335,9 +339,19 @@ def test_qr_auto_fused_return_info_tiers():
     assert int(info2["tier"][0, 0]) == 2
 
     bad = jnp.concatenate([a[:, :48], a[:, :48]], axis=1)  # exact rank 48
-    q3, _, info3 = auto.qr_auto_fused(bad, "fp32", return_info=True, **kw)
+    q3, r3, info3 = auto.qr_auto_fused(bad, "fp32", return_info=True, **kw)
     assert int(info3["tier"][0, 0]) == 3
-    assert validation.orthogonality(np.asarray(q3, np.float64)) < 1e-5
+    q3_64 = np.asarray(q3, np.float64)
+    assert validation.orthogonality(q3_64) < 1e-5
+    assert validation.residual(np.asarray(bad, np.float64), q3_64,
+                               np.asarray(r3, np.float64)) < 1e-5
+
+    az = np.asarray(a).copy()
+    az[:, 33] = 0.0  # a zero column defeats every Gram method
+    q4, _, info4 = auto.qr_auto_fused(jnp.asarray(az), "fp32",
+                                      return_info=True, **kw)
+    assert int(info4["tier"][0, 0]) == 4
+    assert validation.orthogonality(np.asarray(q4, np.float64)) < 1e-5
 
 
 def test_psd_norm2_bound_scale_invariant():

@@ -196,3 +196,38 @@ def test_whole_tree_sb_leaves_compiled():
     assert np.isfinite(orth) and orth < 1e-5
     resid = float(validation.residual_device_chunked(a, q, r))
     assert np.isfinite(resid) and resid < 1e-5
+
+
+def test_cholqr_iter_fused_compiled():
+    # the iterated shifted rung's while_loop + streaming kernels,
+    # Mosaic-COMPILED: deep-kappa input converges to fp32-grade
+    # orthogonality and the free gate agrees
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.utils import latms, validation
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(9), 1 << 14,
+                                       128, 1e6)
+    q, r, gq = cholqr.cholqr_iter_fused(a, "bf16x6_cor",
+                                        return_qgram=True)
+    gate = float(jnp.linalg.norm(gq - jnp.eye(128)) / jnp.sqrt(128.0))
+    assert gate < 1e-5
+    q64 = np.asarray(q, np.float64)
+    assert validation.orthogonality(q64) < 1e-5
+    assert validation.residual(np.asarray(a, np.float64), q64,
+                               np.asarray(r, np.float64)) < 1e-4
+
+
+def test_predictive_ladder_iter_tier_compiled():
+    # the full 4-tier ladder ON-CHIP: a kappa ~1e6 input must route to
+    # a Gram rung (2 or 3 — the gates are measured, never tier 4) and
+    # return fp32-grade output
+    from tsqr_tpu.core import auto
+    from tsqr_tpu.utils import latms, validation
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(10), 1 << 14,
+                                       128, 1e6)
+    q, r, info = auto.qr_auto_fused(a, "bf16x6_cor",
+                                    fast_method="cholqr1_fused",
+                                    mid_method="cholqr3_fused",
+                                    mid_variant="compact",
+                                    return_info=True)
+    assert int(info["tier"][0, 0]) in (2, 3)
+    assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-5

@@ -3,9 +3,11 @@
 The reference selects its algorithm statically via template modes; on TPU
 we can do better: run the MXU-native CholeskyQR3, *measure* the
 orthogonality on device (an (n, n) Gram — microseconds), and only if it
-misses the mode's tolerance rerun with the unconditionally-stable
-Householder TSQR tree.  Well-conditioned inputs (the overwhelmingly common
-case) never pay the reflector path.
+misses the mode's tolerance escalate — first to the iterated shifted
+CholeskyQR (cholqr.cholqr_iter: pure Gram passes to the f32 kappa limit
+~1e7), last to the unconditionally-stable Householder TSQR tree.
+Well-conditioned inputs (the overwhelmingly common case) never pay the
+reflector path, and almost no finite-kappa input does anymore.
 """
 
 from __future__ import annotations
@@ -76,6 +78,20 @@ def qr_auto(a: Array,
             orth = validation.orthogonality_accurate(q)
         if np.isfinite(orth) and orth < tol:
             return q, r, fast_method
+        if policy.mode not in cholqr._CHEAP_DOT:
+            # deep-kappa retry before the reflector path: iterated
+            # shifted CholeskyQR contracts any kappa up to the f32
+            # representation limit (~1e7) on pure Gram/GEMM passes —
+            # see cholqr.cholqr_iter
+            q, r = cholqr.fastqr(a, policy.mode.value
+                                 if not isinstance(mode, modes.Policy)
+                                 else mode, method="cholqr_iter")
+            if m <= (1 << 16):
+                orth = float(_orth_device(q))
+            else:
+                orth = validation.orthogonality_accurate(q)
+            if np.isfinite(orth) and orth < tol:
+                return q, r, "cholqr_iter"
     # Fallback: the Householder tree with reorthogonalization — an input
     # that defeated CholeskyQR3 is exactly the extreme-kappa case where
     # single-pass CGS loses orthogonality.  The default impl stays "jnp":
@@ -111,21 +127,10 @@ def _gate_orth(q: Array) -> Array:
 
 # Effective Gram/apply epsilon per mode for the PREDICTIVE tier-1 gate:
 # cholqr1's orthogonality is ~ c * kappa(A)^2 * eps_gate, so the gate
-# admits tier 1 when kappa2_est * eps_gate * _SAFETY < tol.  Values are
-# the measured orthogonality floors of each mode's Gram arithmetic
-# (data/cond.csv flat levels; emu modes mirror what they emulate).
-_EPS_GATE = {
-    modes.ComputeMode.FP32: 6e-8,
-    modes.ComputeMode.BF16X6_COR: 6e-8,
-    modes.ComputeMode.BF16X3_COR: 3e-7,
-    modes.ComputeMode.BF16X3_NOCOR: 3e-6,
-    modes.ComputeMode.BF16: 4e-3,
-    modes.ComputeMode.BF16_NOCOR: 4e-3,
-    modes.ComputeMode.BF16_NOCOR_EMU: 4e-3,
-    modes.ComputeMode.TF32_NOCOR_EMU: 3e-6,
-    modes.ComputeMode.BF16X3_COR_EMU: 3e-7,
-    modes.ComputeMode.MIXED_COR_EMU: 3e-6,
-}
+# admits tier 1 when kappa2_est * eps_gate * _SAFETY < tol.  The table
+# lives in core/cholqr.py (shared with the iterated method); re-exported
+# here under the historical name.
+_EPS_GATE = cholqr._EPS_GATE
 _SAFETY = 8.0  # covers the O(1) constant in orth ~ c * kappa^2 * eps
 
 
@@ -146,40 +151,17 @@ def _kappa2_max(base_method: str, eps: float, tol: float) -> float:
     return min(1e8, 2.5 / eps)
 
 
-def _inf_norm11(x: Array) -> Array:
-    # (1, 1)-shaped, not rank-0 (see cholqr._shift_value: any rank-0 in
-    # the value chain stalls the downstream pipeline on TPU)
-    return jnp.max(jnp.sum(jnp.abs(x), axis=1), keepdims=True)[None]
-
-
-def _psd_norm2_bound(x: Array) -> Array:
-    """Rigorous upper bound on ||X||_2 for symmetric PSD X, (1,1)-shaped.
-
-    ||X||_2 = ||X^4||_2^{1/4} <= ||X^4||_inf^{1/4} (for symmetric
-    matrices the inf-norm dominates the spectral norm), and
-    submultiplicativity gives ||X^4||_inf^{1/4} <= ||X||_inf — power
-    compounding can only tighten the plain inf-norm bound, and it takes
-    the inf-vs-spectral overshoot (up to sqrt(n); ~2.6x per factor
-    measured on latms spectra at n=128) to its 4th root (~1.3x).  The
-    cost is two (n, n) MXU matmuls — noise against the m n^2 Gram that
-    produced X.  X is pre-scaled by its inf-norm so the 4th power can
-    neither overflow nor underflow at any input scale (the scaled PSD
-    matrix has max diagonal >= 1/n, so ||X_hat^4||_inf >= n^-4); a
-    scale of 0 or NaN propagates NaN, which every downstream gate reads
-    as False — the safe (Householder) direction.
-    """
-    s = _inf_norm11(x)
-    xh = x / s
-    x2 = modes.mm_fp32(xh, xh)
-    x4 = modes.mm_fp32(x2, x2)
-    return s * _inf_norm11(x4) ** 0.25
+# moved to core/cholqr.py (shared with the iterated shifted method);
+# re-exported here for the existing call sites (parallel/dtsqr.py, tests)
+_inf_norm11 = cholqr._inf_norm11
+_psd_norm2_bound = cholqr._psd_norm2_bound
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
                                              "fast_variant", "mid_method",
                                              "mid_variant", "impl",
                                              "leaf_rows", "fanin", "reorth",
-                                             "return_info"))
+                                             "return_info", "iter_tier"))
 def qr_auto_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   fast_method: str = "cholqr1_fused",
@@ -190,7 +172,8 @@ def qr_auto_fused(a: Array,
                   leaf_rows: int = 2048,
                   fanin: int = 8,
                   reorth: bool = True,
-                  return_info: bool = False) -> tuple[Array, ...]:
+                  return_info: bool = False,
+                  iter_tier: bool = True) -> tuple[Array, ...]:
     """Self-validating QR as ONE fused XLA program: the PREDICTIVE ladder.
 
     Tier 0 (shared, ~1 HBM pass): stream the Gram G = A^T A, Cholesky it,
@@ -217,18 +200,26 @@ def qr_auto_fused(a: Array,
     shared tier-0 Gram (4 HBM passes, kappa <~ 1e4), self-measured by a
     free in-pass Q-Gram gate (cholqr3_fused(return_qgram=True)).
 
-    Tier 3 (unconditional): Householder BlockQR tree.
+    Tier 3 (deep-kappa, corrected/fp32 modes): iterated shifted
+    CholeskyQR (cholqr.cholqr_iter[_fused], also reusing the tier-0
+    Gram) — a while_loop of shifted Gram passes contracting kappa
+    geometrically to the f32-representation limit (~1e7), each pass ONE
+    HBM read; self-measured by the same free gate.  Before this rung
+    existed, every kappa > ~1e4 input paid the Householder tree (~150x
+    the fast tier at 2^20 x 128).
 
-    The result carries NO kappa caveat: tier-2's gate is a measured
+    Tier 4 (unconditional): Householder BlockQR tree.
+
+    The result carries NO kappa caveat: tiers 2-3 gate on a measured
     orthogonality, so any input that defeats the Gram methods lands on
     the reflector path.  Untaken branches cost compile time only.
 
     With ``return_info=True`` returns ``(q, r, info)`` where
     ``info["tier"]`` is a (1, 1) int32 device scalar (1=fast CholQR,
-    2=robust shifted CholQR3, 3=Householder tree — the fused analogue
-    of qr_auto's ``method_used`` string) and ``info["kappa2_est"]`` is
-    the tier-0 bound; zero extra device work (the tag rides the
-    existing ``lax.cond`` outputs).
+    2=robust shifted CholQR3, 3=iterated shifted CholQR, 4=Householder
+    tree — the fused analogue of qr_auto's ``method_used`` string) and
+    ``info["kappa2_est"]`` is the tier-0 bound; zero extra device work
+    (the tag rides the existing ``lax.cond`` outputs).
     """
     policy = modes.resolve(mode)
     tol = _TOL.get(policy.mode, 1e-4)
@@ -310,9 +301,37 @@ def qr_auto_fused(a: Array,
         def mid_ok(_):
             return q_m.astype(io), jnp.triu(r_m).astype(io)
 
-        return jax.lax.cond(ok2, _tag(mid_ok, 2), _tag(tier3, 3), None)
+        if policy.mode in cholqr._CHEAP_DOT or not iter_tier:
+            # no iterated rung: the cheap-dot modes' Gram noise floor
+            # defeats the shifted-contraction analysis (cholqr_iter);
+            # iter_tier=False is the compile-safety valve (bench.py
+            # falls back to it if the while_loop program ever fails to
+            # compile on a backend)
+            return jax.lax.cond(ok2, _tag(mid_ok, 2), _tag(tier3, 4), None)
 
-    fallback = rest if mid_method is not None else _tag(tier3, 3)
+        def tier_iter(_):
+            # deep-kappa rung: iterated shifted CholeskyQR reusing the
+            # shared tier-0 Gram, gated by its own measured orthogonality
+            it_fused = (64 <= n <= cholqr._fused_n_max(policy)
+                        and jax.default_backend() == "tpu")
+            if it_fused:
+                q_i, r_i, gq_i = cholqr.cholqr_iter_fused(
+                    a32, pmode, g1=g, return_qgram=True)
+                orth_i = (jnp.linalg.norm(gq_i - jnp.eye(n))
+                          / jnp.sqrt(n * 1.0))
+            else:
+                q_i, r_i = cholqr.cholqr_iter(a, pmode, g1=g)
+                orth_i = _gate_orth(q_i)
+            ok3 = orth_i < tol  # False for NaN
+
+            def iter_ok(_):
+                return q_i.astype(io), jnp.triu(r_i).astype(io)
+
+            return jax.lax.cond(ok3, _tag(iter_ok, 3), _tag(tier3, 4), None)
+
+        return jax.lax.cond(ok2, _tag(mid_ok, 2), tier_iter, None)
+
+    fallback = rest if mid_method is not None else _tag(tier3, 4)
     out = jax.lax.cond(ok1, _tag(tier1, 1), fallback, None)
     if return_info:
         q, r, tier = out

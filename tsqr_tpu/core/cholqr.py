@@ -292,6 +292,70 @@ def _delta(r: Array) -> Array:
     return _rinv(r) - jnp.eye(n, dtype=jnp.float32)
 
 
+# ---- kappa^2(A) estimation from a Gram matrix ------------------------------
+# Shared by the predictive ladder (core/auto.py) and the iterated shifted
+# CholeskyQR below.  Moved here from auto.py so cholqr can use them without
+# a circular import; auto re-exports them under the old names.
+
+def _inf_norm11(x: Array) -> Array:
+    # (1, 1)-shaped, not rank-0 (see _shift_value: any rank-0 in the
+    # value chain stalls the downstream pipeline on TPU)
+    return jnp.max(jnp.sum(jnp.abs(x), axis=1), keepdims=True)[None]
+
+
+def _psd_norm2_bound(x: Array) -> Array:
+    """Rigorous upper bound on ||X||_2 for symmetric PSD X, (1,1)-shaped.
+
+    ||X||_2 = ||X^4||_2^{1/4} <= ||X^4||_inf^{1/4} (for symmetric
+    matrices the inf-norm dominates the spectral norm), and
+    submultiplicativity gives ||X^4||_inf^{1/4} <= ||X||_inf — power
+    compounding can only tighten the plain inf-norm bound, and it takes
+    the inf-vs-spectral overshoot (up to sqrt(n); ~2.6x per factor
+    measured on latms spectra at n=128) to its 4th root (~1.3x).  The
+    cost is two (n, n) MXU matmuls — noise against the m n^2 Gram that
+    produced X.  X is pre-scaled by its inf-norm so the 4th power can
+    neither overflow nor underflow at any input scale (the scaled PSD
+    matrix has max diagonal >= 1/n, so ||X_hat^4||_inf >= n^-4); a
+    scale of 0 or NaN propagates NaN, which every downstream gate reads
+    as False — the safe (Householder) direction.
+    """
+    s = _inf_norm11(x)
+    xh = x / s
+    x2 = modes.mm_fp32(xh, xh)
+    x4 = modes.mm_fp32(x2, x2)
+    return s * _inf_norm11(x4) ** 0.25
+
+
+# Effective Gram/apply epsilon per mode for the predictive gates:
+# cholqr1's orthogonality is ~ c * kappa(A)^2 * eps_gate.  Values are
+# the measured orthogonality floors of each mode's Gram arithmetic
+# (data/cond.csv flat levels; emu modes mirror what they emulate).
+_EPS_GATE = {
+    modes.ComputeMode.FP32: 6e-8,
+    modes.ComputeMode.BF16X6_COR: 6e-8,
+    modes.ComputeMode.BF16X3_COR: 3e-7,
+    modes.ComputeMode.BF16X3_NOCOR: 3e-6,
+    modes.ComputeMode.BF16: 4e-3,
+    modes.ComputeMode.BF16_NOCOR: 4e-3,
+    modes.ComputeMode.BF16_NOCOR_EMU: 4e-3,
+    modes.ComputeMode.TF32_NOCOR_EMU: 3e-6,
+    modes.ComputeMode.BF16X3_COR_EMU: 3e-7,
+    modes.ComputeMode.MIXED_COR_EMU: 3e-6,
+}
+
+
+def _k2_of_gram(g: Array) -> Array:
+    """Rigorous (1, 1)-shaped upper bound on kappa_2(X)^2 from X's Gram.
+
+    bound(G) * bound(G^-1) via `_psd_norm2_bound`, with G^-1 formed from
+    the unshifted Cholesky factor — NaN when that Cholesky fails (G
+    numerically indefinite), which every gate comparison reads as
+    "too ill-conditioned" (the safe direction)."""
+    rinv = _rinv(_chol_r(g, shift=None))
+    minv = modes.mm_fp32(rinv, rinv.T)
+    return (_psd_norm2_bound(g) * _psd_norm2_bound(minv)).reshape(1, 1)
+
+
 def cholqr2_fused(a: Array,
                   mode: modes.ComputeMode | str | modes.Policy = "fp32",
                   interpret: bool = False,
@@ -585,9 +649,209 @@ def cholqr3_fused(a: Array,
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
+# ---- iterated shifted CholeskyQR: the deep-kappa Gram method ---------------
+
+def _iter_polish_k2(policy: modes.Policy) -> float:
+    """kappa^2 threshold below which the 2-pass unshifted polish tail
+    (= CholeskyQR2 on the preconditioned panel) converges to eps-grade:
+    the cholqr2 breakdown budget kappa^2 * eps <= 0.1 (see
+    core/auto._kappa2_max)."""
+    return 0.1 / _EPS_GATE.get(policy.mode, 1e-6)
+
+
+def _iter_shifted_loop(g0: Array, gram_of_f: Callable, shift_of_g: Callable,
+                       n: int, k2_polish: float, max_shifted: int):
+    """The shared shifted-pass loop of the iterated method.
+
+    State: (i, k2, F, R_total, G) where F is the composed preconditioner
+    (X = A F is the current panel), R_total the composed R factors, G the
+    full-grade Gram of X, and k2 the rigorous kappa_2(X)^2 bound
+    (`_k2_of_gram`; NaN while the unshifted Cholesky of G still fails).
+    Each pass: R1 = chol(G + s I) with the safeguard shift (never breaks
+    down), compose, re-derive G from A (``gram_of_f`` — ONE m-scale
+    pass), re-bound kappa^2.  Loops until the polish threshold is met or
+    ``max_shifted`` is hit; a NaN bound keeps looping (NaN < t is False),
+    and a NaN at exit surfaces in the polish Cholesky -> NaN Q, which the
+    ladder's measured gate routes to Householder.
+
+    Returns (F, R_total, G, n_shifted, k2_exit)."""
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def cond(st):
+        i, k2, *_ = st
+        return jnp.logical_and(
+            i < max_shifted,
+            jnp.logical_not((k2 < k2_polish).reshape(())))
+
+    def body(st):
+        i, _, f, rt, g = st
+        r1 = _chol_r(g, shift=shift_of_g(g))
+        f = modes.mm_fp32(f, _rinv(r1))
+        rt = modes.mm_fp32(r1, rt)
+        g = gram_of_f(f)
+        return i + 1, _k2_of_gram(g), f, rt, g
+
+    st0 = (jnp.zeros((), jnp.int32), _k2_of_gram(g0), eye, eye, g0)
+    i, k2, f, rt, g = jax.lax.while_loop(cond, body, st0)
+    return f, rt, g, i, k2
+
+
+def cholqr_iter(a: Array,
+                mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                g1: Array | None = None,
+                max_shifted: int = 12) -> tuple[Array, Array]:
+    """Iterated shifted CholeskyQR: deep-kappa coverage on pure GEMMs.
+
+    A single shifted pass contracts kappa by a FIXED factor
+    (~sqrt(||G||/s), independent of kappa: for sigma_min^2 << s the pass
+    maps sigma_min -> sigma_min/sqrt(s) while sigma_max -> ~1), so a
+    ``lax.while_loop`` of shifted passes — each ONE m-scale Gram pass —
+    contracts ANY input geometrically until the rigorous kappa^2 bound
+    (`_k2_of_gram`, never under-reports) clears the CholeskyQR2 budget,
+    then a 2-pass unshifted polish finishes to eps-grade orthogonality.
+    Measured (m=2^14, n=128, bf16x6_cor, CPU): converges to ~5e-7
+    orthogonality from kappa = 5e6 in 9 shifted + 2 polish passes at
+    ~2.3x contraction per pass (the fused variant's Kahan-Gram shift is
+    ~10x smaller -> ~2x fewer passes); see tests/test_cholqr.py.
+
+    This closes the ladder's performance cliff: inputs with kappa in
+    1e4..~1e7 (the f32-representation limit) previously fell through to
+    the Householder tree (~150x the fast tier's cost at 2^20 x 128);
+    the loop costs a handful of streaming passes instead.  Inputs the
+    loop cannot contract within ``max_shifted`` passes (e.g. exactly
+    rank-deficient) exit with a NaN bound, the polish Cholesky goes NaN,
+    and the caller's measured gate falls through to Householder — the
+    no-kappa-caveat contract is unchanged.
+
+    No reference analogue (the CUDA library's only deep-kappa answer is
+    the Householder path, tcqr32x16.cu); the method follows the shifted
+    CholeskyQR3 analysis (Fukaya et al. 2020) iterated to a dynamic
+    depth.  Corrected/fp32 modes only (the cheap-dot modes' ~1e-3 Gram
+    noise floor defeats the contraction analysis).
+
+    ``g1`` optionally supplies a precomputed full-grade Gram of ``a``
+    (the ladder's shared tier-0 Gram), saving the first m-scale pass.
+    """
+    policy = modes.resolve(mode)
+    if policy.mode in _CHEAP_DOT:
+        raise ValueError(
+            "cholqr_iter: the cheap-dot modes' Gram noise floor defeats "
+            "the shifted-contraction analysis; use the corrected/fp32 "
+            f"modes (got {policy.mode.value!r})")
+    a32 = a.astype(jnp.float32)
+    m, n = a.shape
+
+    def gram_of_f(f):
+        g = modes.gram(policy.mm(a32, f), policy)
+        return (g + g.T) * 0.5
+
+    if g1 is None:
+        g0 = modes.gram(a32, policy)
+        g0 = (g0 + g0.T) * 0.5
+    else:
+        g0 = (g1.astype(jnp.float32) + g1.astype(jnp.float32).T) * 0.5
+    f, rt, g, _, _ = _iter_shifted_loop(
+        g0, gram_of_f, lambda gg: _shift_value(gg, m, n), n,
+        _iter_polish_k2(policy), max_shifted)
+
+    # polish = CholeskyQR2 on X = A F (two unshifted passes)
+    r2 = _chol_r(g)
+    f = modes.mm_fp32(f, _rinv(r2))
+    rt = modes.mm_fp32(r2, rt)
+    x = policy.mm(a32, f)
+    g3 = modes.gram(x, policy)
+    r3 = _chol_r((g3 + g3.T) * 0.5)
+    q = _q_pass(x, r3, policy.mm)
+    r = jnp.triu(modes.mm_fp32(r3, rt))
+    return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
+
+
+def cholqr_iter_fused(a: Array,
+                      mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                      interpret: bool = False,
+                      g1: Array | None = None,
+                      return_qgram: bool = False,
+                      max_shifted: int = 12):
+    """:func:`cholqr_iter` on the streaming Pallas kernels.
+
+    Each loop pass is ONE HBM read of A (`stream_pallas` applies the
+    composed preconditioner F and accumulates the Kahan half-Gram of
+    A F in VMEM), and the Kahan Gram's m-independent error licenses the
+    ~10x smaller `_shift_value_fused` shift — more kappa contraction per
+    pass than the XLA variant.  The polish tail is compact cholqr3's:
+    compose, one Gram pass, and a final Q-writing pass applying the last
+    factor via the Delta trick, with the free in-pass Q-Gram gate
+    (``return_qgram=True`` -> (q, r, gq)) for the ladder.  Peak HBM
+    footprint is A + Q only (no intermediate panel is ever written).
+
+    Out-of-range n delegates to the XLA variant (unless the ladder hooks
+    ``g1``/``return_qgram`` are requested, which the fallback cannot
+    honor — mirrors cholqr3_fused's contract)."""
+    from tsqr_tpu.ops import pallas_gram
+
+    policy = modes.resolve(mode)
+    if policy.mode in _CHEAP_DOT:
+        raise ValueError(
+            "cholqr_iter_fused: corrected/fp32 modes only (see "
+            f"cholqr_iter), got {policy.mode.value!r}")
+    if a.shape[1] < 64 or a.shape[1] > _fused_n_max(policy):
+        if g1 is not None or return_qgram:
+            raise ValueError(
+                f"g1/return_qgram require 64 <= n <= "
+                f"{_fused_n_max(policy)} (the fused-kernel range), got "
+                f"n={a.shape[1]}")
+        return cholqr_iter(a, mode, max_shifted=max_shifted)
+
+    mname = policy.mode.value
+    if a.dtype not in (jnp.bfloat16, jnp.float32):
+        a = a.astype(jnp.float32)
+    m, n = a.shape
+    chunk = pallas_gram.effective_chunk(m, n, pallas_gram.GRAM_CHUNK)
+
+    def gram_of_f(f):
+        p = pallas_gram.stream_pallas(a, (f,), (mname,), gram_mode=mname,
+                                      interpret=interpret)
+        return p + p.T
+
+    if g1 is None:
+        g0 = pallas_gram.gram_pallas(a, mname, interpret=interpret)
+    else:
+        g0 = g1.astype(jnp.float32)
+    g0 = (g0 + g0.T) * 0.5
+    f, rt, g, _, _ = _iter_shifted_loop(
+        g0, gram_of_f, lambda gg: _shift_value_fused(gg, n, chunk), n,
+        _iter_polish_k2(policy), max_shifted)
+
+    # polish tail ≙ cholqr3_fused variant="compact" with F for Rinv1
+    r2 = _chol_r(g)
+    f2 = _compose(f, _rinv(r2))
+    rt = modes.mm_fp32(r2, rt)
+    p3 = pallas_gram.stream_pallas(a, (f2,), (mname,), gram_mode=mname,
+                                   interpret=interpret)
+    r3 = _chol_r(p3 + p3.T)
+    dmode = _DELTA_MODE.get(policy.mode)
+    qg = mname if return_qgram else None
+    if dmode is not None:
+        out = pallas_gram.stream_pallas(a, (f2, _delta(r3)), (mname, dmode),
+                                        residual=(False, True), write_q=True,
+                                        gram_mode=qg, interpret=interpret,
+                                        out_dtype=policy.io_dtype)
+    else:
+        out = pallas_gram.stream_pallas(a, (_compose(f2, _rinv(r3)),),
+                                        (mname,), write_q=True, gram_mode=qg,
+                                        interpret=interpret,
+                                        out_dtype=policy.io_dtype)
+    r = jnp.triu(modes.mm_fp32(r3, rt)).astype(policy.io_dtype)
+    if return_qgram:
+        q, p = out
+        return q.astype(policy.io_dtype), r, p + p.T
+    return out.astype(policy.io_dtype), r
+
+
 _METHODS = {"cholqr1": cholqr1, "cholqr2": cholqr2, "cholqr3": cholqr3,
             "cholqr1_fused": cholqr1_fused,
-            "cholqr2_fused": cholqr2_fused, "cholqr3_fused": cholqr3_fused}
+            "cholqr2_fused": cholqr2_fused, "cholqr3_fused": cholqr3_fused,
+            "cholqr_iter": cholqr_iter, "cholqr_iter_fused": cholqr_iter_fused}
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "method", "variant"))

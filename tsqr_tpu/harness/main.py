@@ -62,7 +62,7 @@ def main(argv=None):
                   ns=((128,) if args.quick else (128, 256, 512, 1024, 2048)))
     elif args.which == "ladder":
         # reproduce the bench.py headline config interactively: the
-        # predictive 3-tier ladder at a given conditioning regime
+        # predictive 4-tier ladder at a given conditioning regime
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -85,7 +85,7 @@ def main(argv=None):
                 return_info=True)
             orth = validation.orthogonality_accurate(q)
             resid = float(validation.residual_device_chunked(a, q, r))
-            tier = {1: "fast", 2: "robust", 3: "householder"}[
+            tier = {1: "fast", 2: "robust", 3: "iter", 4: "householder"}[
                 int(info["tier"][0, 0])]
             print(f"kappa={kappa:8.1e}  tier={tier:<11s}  "
                   f"kappa2_est={float(info['kappa2_est'][0, 0]):.3g}  "

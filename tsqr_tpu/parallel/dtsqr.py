@@ -388,7 +388,7 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
         # ZERO additional communication
         return mm(a_shard, rinv1), jnp.triu(r1)
 
-    def tier3(_):
+    def tier4(_):
         q, r = _dblockqr_shard(a_shard, policy, axis, n_dev,
                                panel_width=n, reorth=True, **tsqr_kw)
         return q, jnp.triu(r)
@@ -415,7 +415,43 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
         def mid_ok(_):
             return q3, jnp.triu(r_m)
 
-        return lax.cond(ok2, _tag(mid_ok, 2), _tag(tier3, 3), None)
+        if policy.mode in cholqr._CHEAP_DOT:
+            # no iterated rung for the cheap-dot modes (cholqr_iter)
+            return lax.cond(ok2, _tag(mid_ok, 2), _tag(tier4, 4), None)
+
+        def tier_iter(_):
+            # tier 3: iterated shifted CholeskyQR, distributed — the
+            # shared while_loop (cholqr._iter_shifted_loop) with a
+            # psum'd Gram; one (n, n) allreduce per shifted pass, the
+            # same D-independent traffic bound as every Gram driver.
+            # The loop state is replicated (g is), so all chips run the
+            # same trip count and the collectives stay consistent.
+            def gram_of_f(f):
+                gg = gram_psum(mm(a_shard, f))
+                return (gg + gg.T) * 0.5
+
+            f, rt, gexit, _, _ = cholqr._iter_shifted_loop(
+                g, gram_of_f,
+                lambda gg: cholqr._shift_value(gg, m_glob, n),
+                n, cholqr._iter_polish_k2(policy), 12)
+            r2i = cholqr._chol_r(gexit)
+            f2 = modes.mm_fp32(f, cholqr._rinv(r2i))
+            rt2 = modes.mm_fp32(r2i, rt)
+            x = mm(a_shard, f2)
+            g3i = gram_psum(x)
+            r3i = cholqr._chol_r((g3i + g3i.T) * 0.5)
+            q_i = cholqr._q_pass(x, r3i, mm)
+            r_i = jnp.triu(modes.mm_fp32(r3i, rt2))
+            gq_i = gram_psum(q_i)
+            orth_i = jnp.linalg.norm(gq_i - jnp.eye(n)) / jnp.sqrt(n * 1.0)
+            ok3 = orth_i < tol  # False for NaN
+
+            def iter_ok(_):
+                return q_i, r_i
+
+            return lax.cond(ok3, _tag(iter_ok, 3), _tag(tier4, 4), None)
+
+        return lax.cond(ok2, _tag(mid_ok, 2), tier_iter, None)
 
     out = lax.cond(ok1, _tag(tier1, 1), rest, None)
     if return_info:
@@ -428,7 +464,7 @@ def dqr_auto(a: Array, mesh: Mesh,
              mode: modes.ComputeMode | str | modes.Policy = "fp32",
              axis: str = ROWS_AXIS, return_info: bool = False,
              **tsqr_kw) -> tuple[Array, ...]:
-    """Distributed self-validating QR: the predictive 3-tier ladder of
+    """Distributed self-validating QR: the predictive 4-tier ladder of
     ``core/auto.qr_auto_fused`` lifted to a row-sharded mesh.  Q comes
     back row-sharded, R (n, n) replicated; the fast tier costs ONE
     (n, n) psum of communication, the robust tier four — independent of
