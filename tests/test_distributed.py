@@ -291,6 +291,27 @@ def test_dqr_regen_bf16_cholqr3(mesh8):
     assert float(info["residual"]) < 1e-5
 
 
+def test_dqr_regen_cholqr_iter_deep_kappa(mesh8):
+    # the iterated shifted rung, matrix-free AND distributed: the
+    # while_loop's psum'd Gram keeps every device on the same trip
+    # count (replicated predicate), so a kappa ~1e6 generator converges
+    # to fp32-grade orthogonality across the mesh
+    from tsqr_tpu.core import ooc
+    from tsqr_tpu.utils import latms
+
+    m, n, chunk = 4096, 32, 256
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(41), m, n, 1e6)
+    a32 = a.astype(jnp.float32)
+
+    def gen(i):
+        return jax.lax.dynamic_slice(a32, (i * chunk, 0), (chunk, n))
+
+    r_d, info = dtsqr.dqr_regen(gen, m, n, mesh8, "fp32",
+                                method="cholqr_iter", chunk_rows=chunk)
+    assert float(info["orthogonality"]) < 1e-5
+    assert float(info["residual"]) < 1e-4
+
+
 # --- bytes-on-wire invariants (VERDICT r3 weak #7 replacement evidence) ---
 # The communication claims of the distributed layer are properties of the
 # COMPILED program, so they are asserted here directly from optimized HLO

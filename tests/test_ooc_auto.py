@@ -122,6 +122,30 @@ def test_qr_regen_bf16_and_cholqr3():
     assert float(info3["residual"]) < 1e-5
 
 
+def test_qr_regen_cholqr_iter_deep_kappa():
+    # the iterated shifted rung, matrix-free: a kappa ~1e6 input (far
+    # beyond cholqr3's contract) regenerated chunkwise must converge to
+    # fp32-grade orthogonality with a dynamic number of streamed passes
+    from tsqr_tpu.utils import latms
+    m, n, chunk = 4096, 64, 1024
+    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(40), m, n, 1e6)
+    a32 = a.astype(jnp.float32)
+
+    def gen(i):
+        return jax.lax.dynamic_slice(a32, (i * chunk, 0), (chunk, n))
+
+    r, info = ooc.qr_regen(gen, m, n, "fp32", method="cholqr_iter",
+                           chunk_rows=chunk)
+    assert float(info["orthogonality"]) < 1e-5
+    assert float(info["residual"]) < 1e-4
+    # benign input must also work (loop skipped, polish only)
+    gen_u = ooc.uniform_gen(jax.random.PRNGKey(2), chunk, n,
+                            dtype=jnp.float32)
+    r2, info2 = ooc.qr_regen(gen_u, m, n, "fp32", method="cholqr_iter",
+                             chunk_rows=chunk)
+    assert float(info2["orthogonality"]) < 1e-6
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="capacity shape needs the real chip")
 def test_ooc_tpu_gated_smoke():

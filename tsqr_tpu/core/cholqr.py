@@ -652,67 +652,105 @@ def cholqr3_fused(a: Array,
 # ---- iterated shifted CholeskyQR: the deep-kappa Gram method ---------------
 
 def _iter_polish_k2(policy: modes.Policy) -> float:
-    """kappa^2 threshold below which the 2-pass unshifted polish tail
-    (= CholeskyQR2 on the preconditioned panel) converges to eps-grade:
-    the cholqr2 breakdown budget kappa^2 * eps <= 0.1 (see
-    core/auto._kappa2_max)."""
+    """kappa^2 threshold below which an UNSHIFTED pass is attempted
+    (= the CholeskyQR2 breakdown budget kappa^2 * eps <= 0.1, see
+    core/auto._kappa2_max).  Advisory only: the loop verifies the
+    unshifted Cholesky numerically and falls back to the shifted form
+    per pass."""
     return 0.1 / _EPS_GATE.get(policy.mode, 1e-6)
+
+
+# Loop exit, two measured signals (both NaN-safe — NaN keeps looping):
+#
+# * orthg = ||X^T X - I||_F/sqrt(n) < _ORTH_EXIT: the panel is already
+#   near-orthonormal, one tail pass lands at eps grade.  For deep-kappa
+#   inputs this alone is UNREACHABLE: X is recomputed from A each pass
+#   (fl(A F)), which carries an ~eps*kappa(A) error floor (measured:
+#   orthg plateaus at ~3e-3 for kappa(A)=1e6 while kappa(X) sits at
+#   1.02), so a second signal is needed.
+# * k2 < _K2_EXIT: the `_k2_of_gram` bound certifies kappa(X)^2 is
+#   genuinely tiny.  A k2 threshold this small cannot be faked by the
+#   Gram noise floor (the failure mode of a LARGE k2 threshold, hit by
+#   the qr_regen deep-kappa test: noise ~eps*||G|| inflates sigma_min of
+#   a kappa=1e6 panel so k2 saturates near ~1e6): the noise is an
+#   ABSOLUTE ~eps*||G|| perturbation, so k2 < 4 implies the true
+#   kappa(X)^2 <= 4 + O(eps).  The tail then factors X's EXACTLY
+#   measured Gram, absorbing the recompute-floor error into R.
+_ORTH_EXIT = 3e-4
+_K2_EXIT = 4.0
 
 
 def _iter_shifted_loop(g0: Array, gram_of_f: Callable, shift_of_g: Callable,
                        n: int, k2_polish: float, max_shifted: int):
-    """The shared shifted-pass loop of the iterated method.
+    """The shared pass loop of the iterated method.
 
-    State: (i, k2, F, R_total, G) where F is the composed preconditioner
-    (X = A F is the current panel), R_total the composed R factors, G the
-    full-grade Gram of X, and k2 the rigorous kappa_2(X)^2 bound
-    (`_k2_of_gram`; NaN while the unshifted Cholesky of G still fails).
-    Each pass: R1 = chol(G + s I) with the safeguard shift (never breaks
-    down), compose, re-derive G from A (``gram_of_f`` — ONE m-scale
-    pass), re-bound kappa^2.  Loops until the polish threshold is met or
-    ``max_shifted`` is hit; a NaN bound keeps looping (NaN < t is False),
-    and a NaN at exit surfaces in the polish Cholesky -> NaN Q, which the
-    ladder's measured gate routes to Householder.
+    State: (i, k2, orthg, F, R_total, G) where F is the composed
+    preconditioner (X = A F is the current panel), R_total the composed
+    R factors, G the full-grade Gram of X, k2 the `_k2_of_gram` bound
+    (advisory), and orthg = ||G - I||_F/sqrt(n), the measured exit
+    signal.  Each pass factors G — UNSHIFTED when the k2 bound clears
+    the CholeskyQR2 budget AND the unshifted Cholesky is numerically
+    finite, otherwise with the safeguard shift (never breaks down) —
+    composes, and re-derives G from A (``gram_of_f``, ONE m-scale
+    pass).  Loops until orthg < _ORTH_EXIT or ``max_shifted`` passes;
+    NaNs in either signal keep the loop running in shifted form (the
+    safe direction), and a still-bad G at exit surfaces in the tail
+    Cholesky -> NaN Q, which the ladder's measured gate routes to
+    Householder.
 
-    Returns (F, R_total, G, n_shifted, k2_exit)."""
+    Returns (F, R_total, G, n_passes, orthg_exit)."""
     eye = jnp.eye(n, dtype=jnp.float32)
 
+    def orth_of(g):
+        return (jnp.linalg.norm(g - eye)
+                / jnp.sqrt(jnp.float32(n))).reshape(1, 1)
+
     def cond(st):
-        i, k2, *_ = st
-        return jnp.logical_and(
-            i < max_shifted,
-            jnp.logical_not((k2 < k2_polish).reshape(())))
+        i, k2, orthg, *_ = st
+        converged = jnp.logical_or((orthg < _ORTH_EXIT).reshape(()),
+                                   (k2 < _K2_EXIT).reshape(()))
+        return jnp.logical_and(i < max_shifted,
+                               jnp.logical_not(converged))
 
     def body(st):
-        i, _, f, rt, g = st
-        r1 = _chol_r(g, shift=shift_of_g(g))
+        i, k2, _, f, rt, g = st
+        r_u = _chol_r(g, shift=None)
+        r_s = _chol_r(g, shift=shift_of_g(g))
+        want_u = jnp.logical_and((k2 < k2_polish).reshape(()),
+                                 jnp.logical_not(jnp.any(jnp.isnan(r_u))))
+        r1 = jnp.where(want_u, r_u, r_s)
         f = modes.mm_fp32(f, _rinv(r1))
         rt = modes.mm_fp32(r1, rt)
         g = gram_of_f(f)
-        return i + 1, _k2_of_gram(g), f, rt, g
+        return i + 1, _k2_of_gram(g), orth_of(g), f, rt, g
 
-    st0 = (jnp.zeros((), jnp.int32), _k2_of_gram(g0), eye, eye, g0)
-    i, k2, f, rt, g = jax.lax.while_loop(cond, body, st0)
-    return f, rt, g, i, k2
+    # g0 is the raw Gram of A (arbitrary scale): its orth_of is
+    # meaningless unless A is already orthonormal — which is exactly the
+    # one case an immediate exit is correct.
+    st0 = (jnp.zeros((), jnp.int32), _k2_of_gram(g0), orth_of(g0),
+           eye, eye, g0)
+    i, _, orthg, f, rt, g = jax.lax.while_loop(cond, body, st0)
+    return f, rt, g, i, orthg
 
 
 def cholqr_iter(a: Array,
                 mode: modes.ComputeMode | str | modes.Policy = "fp32",
                 g1: Array | None = None,
-                max_shifted: int = 12) -> tuple[Array, Array]:
+                max_shifted: int = 16) -> tuple[Array, Array]:
     """Iterated shifted CholeskyQR: deep-kappa coverage on pure GEMMs.
 
     A single shifted pass contracts kappa by a FIXED factor
     (~sqrt(||G||/s), independent of kappa: for sigma_min^2 << s the pass
     maps sigma_min -> sigma_min/sqrt(s) while sigma_max -> ~1), so a
-    ``lax.while_loop`` of shifted passes — each ONE m-scale Gram pass —
-    contracts ANY input geometrically until the rigorous kappa^2 bound
-    (`_k2_of_gram`, never under-reports) clears the CholeskyQR2 budget,
-    then a 2-pass unshifted polish finishes to eps-grade orthogonality.
-    Measured (m=2^14, n=128, bf16x6_cor, CPU): converges to ~5e-7
-    orthogonality from kappa = 5e6 in 9 shifted + 2 polish passes at
-    ~2.3x contraction per pass (the fused variant's Kahan-Gram shift is
-    ~10x smaller -> ~2x fewer passes); see tests/test_cholqr.py.
+    ``lax.while_loop`` of Gram passes — each ONE m-scale pass, shifted
+    while the conditioning demands it, unshifted (plain CholeskyQR
+    polish) once it clears the CholeskyQR2 budget — contracts ANY input
+    geometrically until the panel's MEASURED ||X^T X - I|| crosses
+    `_ORTH_EXIT`; a single tail pass then lands at eps grade.  Measured
+    (m=2^14, n=128, bf16x6_cor, CPU): converges to ~5e-7 orthogonality
+    from kappa = 5e6 in ~9 shifted + ~3 polish passes at ~2.3x
+    contraction per shifted pass (the fused variant's Kahan-Gram shift
+    is ~10x smaller -> ~2x fewer passes); see tests/test_cholqr.py.
 
     This closes the ladder's performance cliff: inputs with kappa in
     1e4..~1e7 (the f32-representation limit) previously fell through to
@@ -754,15 +792,18 @@ def cholqr_iter(a: Array,
         g0, gram_of_f, lambda gg: _shift_value(gg, m, n), n,
         _iter_polish_k2(policy), max_shifted)
 
-    # polish = CholeskyQR2 on X = A F (two unshifted passes)
+    # tail: ONE unshifted factor of the exit Gram, applied to the
+    # BITWISE-recomputed panel (x below repeats the loop's last
+    # fl(A F) exactly, so r2's Gram measured exactly this x and the
+    # factorization absorbs the recompute floor into R — composing
+    # rinv2 into F instead would re-round through the eps*kappa(A)
+    # amplified path and floor orthogonality at ~3e-3 for kappa=1e6,
+    # the bug the deep-kappa tests pinned)
     r2 = _chol_r(g)
-    f = modes.mm_fp32(f, _rinv(r2))
     rt = modes.mm_fp32(r2, rt)
     x = policy.mm(a32, f)
-    g3 = modes.gram(x, policy)
-    r3 = _chol_r((g3 + g3.T) * 0.5)
-    q = _q_pass(x, r3, policy.mm)
-    r = jnp.triu(modes.mm_fp32(r3, rt))
+    q = _q_pass(x, r2, policy.mm)
+    r = jnp.triu(rt)
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
@@ -771,17 +812,17 @@ def cholqr_iter_fused(a: Array,
                       interpret: bool = False,
                       g1: Array | None = None,
                       return_qgram: bool = False,
-                      max_shifted: int = 12):
+                      max_shifted: int = 16):
     """:func:`cholqr_iter` on the streaming Pallas kernels.
 
     Each loop pass is ONE HBM read of A (`stream_pallas` applies the
     composed preconditioner F and accumulates the Kahan half-Gram of
     A F in VMEM), and the Kahan Gram's m-independent error licenses the
     ~10x smaller `_shift_value_fused` shift — more kappa contraction per
-    pass than the XLA variant.  The polish tail is compact cholqr3's:
-    compose, one Gram pass, and a final Q-writing pass applying the last
-    factor via the Delta trick, with the free in-pass Q-Gram gate
-    (``return_qgram=True`` -> (q, r, gq)) for the ladder.  Peak HBM
+    pass than the XLA variant.  The tail is a single Q-writing pass
+    applying the exit factor via the Delta trick (||Rinv - I|| <~
+    _ORTH_EXIT/2 at exit by construction), with the free in-pass Q-Gram
+    gate (``return_qgram=True`` -> (q, r, gq)) for the ladder.  Peak HBM
     footprint is A + Q only (no intermediate panel is ever written).
 
     Out-of-range n delegates to the XLA variant (unless the ladder hooks
@@ -822,26 +863,23 @@ def cholqr_iter_fused(a: Array,
         g0, gram_of_f, lambda gg: _shift_value_fused(gg, n, chunk), n,
         _iter_polish_k2(policy), max_shifted)
 
-    # polish tail ≙ cholqr3_fused variant="compact" with F for Rinv1
+    # tail: one unshifted factor of the exit Gram, applied in a single
+    # Q-writing pass via the Delta trick (≙ cholqr3_fused's final pass)
     r2 = _chol_r(g)
-    f2 = _compose(f, _rinv(r2))
     rt = modes.mm_fp32(r2, rt)
-    p3 = pallas_gram.stream_pallas(a, (f2,), (mname,), gram_mode=mname,
-                                   interpret=interpret)
-    r3 = _chol_r(p3 + p3.T)
     dmode = _DELTA_MODE.get(policy.mode)
     qg = mname if return_qgram else None
     if dmode is not None:
-        out = pallas_gram.stream_pallas(a, (f2, _delta(r3)), (mname, dmode),
+        out = pallas_gram.stream_pallas(a, (f, _delta(r2)), (mname, dmode),
                                         residual=(False, True), write_q=True,
                                         gram_mode=qg, interpret=interpret,
                                         out_dtype=policy.io_dtype)
     else:
-        out = pallas_gram.stream_pallas(a, (_compose(f2, _rinv(r3)),),
+        out = pallas_gram.stream_pallas(a, (_compose(f, _rinv(r2)),),
                                         (mname,), write_q=True, gram_mode=qg,
                                         interpret=interpret,
                                         out_dtype=policy.io_dtype)
-    r = jnp.triu(modes.mm_fp32(r3, rt)).astype(policy.io_dtype)
+    r = jnp.triu(rt).astype(policy.io_dtype)
     if return_qgram:
         q, p = out
         return q.astype(policy.io_dtype), r, p + p.T

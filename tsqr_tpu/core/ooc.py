@@ -124,7 +124,8 @@ def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
     its own chunk range — the psum'd Gram/metric accumulators are the
     ONLY communication (the same D-independent n^2 bound as dcholqr).
     """
-    n_iters = {"cholqr1": 1, "cholqr2": 2, "cholqr3": 3}[method]
+    n_iters = {"cholqr1": 1, "cholqr2": 2, "cholqr3": 3,
+               "cholqr_iter": None}[method]
 
     def gram_pass(rinv_total):
         def body(i, carry):
@@ -137,22 +138,52 @@ def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
         g, _ = lax.fori_loop(0, n_chunks, body, (z, z))
         return reduce(g)
 
-    rinv_total = None
-    r_total = jnp.eye(n, dtype=jnp.float32)
-    for it in range(n_iters):
-        g = gram_pass(rinv_total)
-        shift = (cholqr._shift_value_fused(g, n, chunk_rows)
-                 if it == 0 and method == "cholqr3" else 0.0)
-        r = cholqr._chol_r(g, shift=shift)
-        rinv = cholqr._rinv(r)
-        rinv_total = (rinv if rinv_total is None
-                      else modes.mm_fp32(rinv_total, rinv))
-        r_total = modes.mm_fp32(r, r_total)
+    if method == "cholqr_iter":
+        # deep-kappa matrix-free: the iterated shifted loop
+        # (cholqr._iter_shifted_loop) with the chunk-regenerating Gram —
+        # each pass is one streamed regeneration of A; under
+        # ``reduce=psum`` (dqr_regen) the replicated Gram keeps every
+        # device on the same trip count.
+        g0 = gram_pass(None)
+        g0 = (g0 + g0.T) * 0.5
+
+        def gram_of_f(f):
+            g = gram_pass(f)
+            return (g + g.T) * 0.5
+
+        f, rt, g, _, _ = cholqr._iter_shifted_loop(
+            g0, gram_of_f,
+            lambda gg: cholqr._shift_value_fused(gg, n, chunk_rows),
+            n, cholqr._iter_polish_k2(policy), 16)
+        # single tail factor — applied as a SECOND dot in the metrics
+        # pass so it multiplies the bitwise-recomputed x@F (composing it
+        # into F would floor orthogonality at ~eps*kappa(A); see
+        # cholqr.cholqr_iter's tail note)
+        r2 = cholqr._chol_r(g)
+        rinv_tail = cholqr._rinv(r2)
+        rt = modes.mm_fp32(r2, rt)
+        rinv_total, r_total = f, rt
+    else:
+        rinv_tail = None
+        rinv_total = None
+        r_total = jnp.eye(n, dtype=jnp.float32)
+        for it in range(n_iters):
+            g = gram_pass(rinv_total)
+            shift = (cholqr._shift_value_fused(g, n, chunk_rows)
+                     if it == 0 and method == "cholqr3" else 0.0)
+            r = cholqr._chol_r(g, shift=shift)
+            rinv = cholqr._rinv(r)
+            rinv_total = (rinv if rinv_total is None
+                          else modes.mm_fp32(rinv_total, rinv))
+            r_total = modes.mm_fp32(r, r_total)
 
     def metrics_body(i, carry):
         qtq, comp, d2, a2 = carry
         x = gen_chunk(i).astype(jnp.float32)
-        q = policy.mm(x, rinv_total).astype(policy.io_dtype)
+        q = policy.mm(x, rinv_total)
+        if rinv_tail is not None:
+            q = policy.mm(q, rinv_tail)
+        q = q.astype(policy.io_dtype)
         q32 = q.astype(jnp.float32)
         contrib = lax.dot_general(
             q32, q32, (((0,), (0,)), ((), ())),
@@ -171,6 +202,13 @@ def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
     qtq, d2, a2 = reduce(qtq), reduce(d2), reduce(a2)
     orth = jnp.linalg.norm(qtq - jnp.eye(n)) / jnp.sqrt(n * 1.0)
     resid = jnp.sqrt(d2) / jnp.sqrt(a2)
+    if rinv_tail is not None:
+        # consumers apply ONE factor to their own chunks; the composed
+        # product trades the by-construction exactness of the two-dot
+        # metrics path for a single GEMM (orthogonality of consumer-
+        # materialized Q floors at ~eps*kappa(A) — the metrics above
+        # report the two-dot path)
+        rinv_total = modes.mm_fp32(rinv_total, rinv_tail)
     return jnp.triu(r_total), orth, resid, rinv_total
 
 

@@ -433,15 +433,15 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
             f, rt, gexit, _, _ = cholqr._iter_shifted_loop(
                 g, gram_of_f,
                 lambda gg: cholqr._shift_value(gg, m_glob, n),
-                n, cholqr._iter_polish_k2(policy), 12)
+                n, cholqr._iter_polish_k2(policy), 16)
+            # single tail factor, applied to the BITWISE-recomputed
+            # shard panel (see cholqr.cholqr_iter: composing into F
+            # would floor orthogonality at ~eps*kappa(A))
             r2i = cholqr._chol_r(gexit)
-            f2 = modes.mm_fp32(f, cholqr._rinv(r2i))
             rt2 = modes.mm_fp32(r2i, rt)
-            x = mm(a_shard, f2)
-            g3i = gram_psum(x)
-            r3i = cholqr._chol_r((g3i + g3i.T) * 0.5)
-            q_i = cholqr._q_pass(x, r3i, mm)
-            r_i = jnp.triu(modes.mm_fp32(r3i, rt2))
+            x = mm(a_shard, f)
+            q_i = cholqr._q_pass(x, r2i, mm)
+            r_i = jnp.triu(rt2)
             gq_i = gram_psum(q_i)
             orth_i = jnp.linalg.norm(gq_i - jnp.eye(n)) / jnp.sqrt(n * 1.0)
             ok3 = orth_i < tol  # False for NaN
