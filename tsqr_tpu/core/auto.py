@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tsqr_tpu import modes
-from tsqr_tpu.core import blockqr, cholqr
+from tsqr_tpu.core import blockqr, cholqr, diff
 
 Array = jax.Array
 
@@ -157,6 +157,7 @@ _inf_norm11 = cholqr._inf_norm11
 _psd_norm2_bound = cholqr._psd_norm2_bound
 
 
+@diff.differentiable(unless=lambda b: b["return_info"])
 @functools.partial(jax.jit, static_argnames=("mode", "fast_method",
                                              "fast_variant", "mid_method",
                                              "mid_variant", "impl",

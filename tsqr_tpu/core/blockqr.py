@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tsqr_tpu import modes
+from tsqr_tpu.core import diff
 from tsqr_tpu.core import tsqr as tsqr_mod
 
 Array = jax.Array
@@ -99,6 +100,7 @@ def _panel_step(q: Array, r: Array, a_b: Array, c0, mm: Callable,
     return q, r
 
 
+@diff.differentiable
 @functools.partial(jax.jit, static_argnames=(
     "mode", "reorth", "panel_width", "leaf_rows", "fanin", "impl",
     "leaf_qr", "panel_method", "loop", "_ablate"))

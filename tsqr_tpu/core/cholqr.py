@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from tsqr_tpu import modes
+from tsqr_tpu.core import diff
 
 Array = jax.Array
 
@@ -892,6 +893,7 @@ _METHODS = {"cholqr1": cholqr1, "cholqr2": cholqr2, "cholqr3": cholqr3,
             "cholqr_iter": cholqr_iter, "cholqr_iter_fused": cholqr_iter_fused}
 
 
+@diff.differentiable
 @functools.partial(jax.jit, static_argnames=("mode", "method", "variant"))
 def fastqr(a: Array,
            mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from tsqr_tpu import modes
+from tsqr_tpu.core import diff
 from tsqr_tpu.ops import householder
 
 Array = jax.Array
@@ -144,6 +145,8 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
     raise ValueError(f"unknown impl {impl!r}")
 
 
+@diff.differentiable(unless=lambda b: (not b["want_q"])
+                     or b["collect_level_q"])
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
                                              "leaf_qr", "impl", "block",
                                              "collect_level_q", "want_q",

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tsqr_tpu import modes
+from tsqr_tpu.core import diff
 from tsqr_tpu.core import tsqr as tsqr_mod
 from tsqr_tpu.ops import householder
 from tsqr_tpu.parallel.mesh import ROWS_AXIS
@@ -136,6 +137,7 @@ def _tsqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     return q_shard, r_top
 
 
+@diff.differentiable
 def dtsqr(a: Array, mesh: Mesh,
           mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
           axis: str = ROWS_AXIS, tree: str = "allgather",
@@ -196,6 +198,7 @@ def _tsqr_shard_hier(a_shard: Array, policy: modes.Policy,
     return mm(q_loc.astype(jnp.float32), mm(c1, c2)), r_top
 
 
+@diff.differentiable
 def dtsqr_hier(a: Array, mesh: Mesh,
                mode: modes.ComputeMode | str | modes.Policy = "fp32",
                slice_axis: str = "slices", chip_axis: str = "chips",
@@ -318,6 +321,7 @@ def _dcholqr_shard(a_shard: Array, policy: modes.Policy, axis: str,
     return q2, jnp.triu(r)
 
 
+@diff.differentiable
 def dcholqr(a: Array, mesh: Mesh,
             mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
             method: str = "cholqr3",
@@ -460,6 +464,7 @@ def _dqr_auto_shard(a_shard: Array, policy: modes.Policy, axis: str,
     return out
 
 
+@diff.differentiable(unless=lambda b: b["return_info"])
 def dqr_auto(a: Array, mesh: Mesh,
              mode: modes.ComputeMode | str | modes.Policy = "fp32",
              axis: str = ROWS_AXIS, return_info: bool = False,
@@ -505,6 +510,7 @@ def dqr_auto(a: Array, mesh: Mesh,
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
+@diff.differentiable
 def dqr(a: Array, mesh: Mesh,
         mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
         reorth: bool = False, panel_width: int = 128,
