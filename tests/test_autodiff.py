@@ -64,6 +64,46 @@ def test_grad_matches_jnp_qr(name, qr_fn):
     assert err < 1e-5, f"{name}: {err}"
 
 
+def test_jvp_matches_jnp_qr():
+    # forward mode: the custom_jvp tangent rule vs jnp.linalg.qr's,
+    # through the sign-normalized map (jnp.sign has zero tangent)
+    a, _, _ = _setup()
+    rng = np.random.default_rng(11)
+    da = jnp.asarray(rng.uniform(-1, 1, a.shape).astype(np.float32))
+
+    def norm_qr(qr_fn):
+        return lambda x: _sign_norm(*[o.astype(jnp.float32)
+                                      for o in qr_fn(x)])
+
+    (qn_r, rn_r), (dq_r, dr_r) = jax.jvp(norm_qr(jnp.linalg.qr), (a,), (da,))
+    for name, qr_fn in [
+        ("fastqr", lambda x: cholqr.fastqr(x, "fp32", method="cholqr2")),
+        ("ladder", lambda x: qr_auto_fused(x, "fp32")),
+    ]:
+        _, (dq, dr) = jax.jvp(norm_qr(qr_fn), (a,), (da,))
+        for got, ref in [(dq, dq_r), (dr, dr_r)]:
+            err = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+            assert err < 1e-5, f"{name}: {err}"
+
+
+def test_vjp_transpose_matches_explicit_adjoint():
+    # reverse mode is DERIVED (linearize + transpose of the tangent
+    # rule); the classical explicit adjoint in diff.qr_adjoint is the
+    # independent closed form both must agree with
+    from tsqr_tpu.core import diff
+    a, _, _ = _setup(seed=12)
+    rng = np.random.default_rng(12)
+    fn = lambda x: cholqr.fastqr(x, "fp32", method="cholqr2")
+    (q, r), vjp = jax.vjp(fn, a)
+    dq = jnp.asarray(rng.uniform(-1, 1, q.shape).astype(np.float32))
+    dr = jnp.asarray(rng.uniform(-1, 1, r.shape).astype(np.float32))
+    (da_derived,) = vjp((dq, dr))
+    da_explicit = diff.qr_adjoint(q, r, dq, dr)
+    err = float(jnp.linalg.norm(da_derived - da_explicit)
+                / jnp.linalg.norm(da_explicit))
+    assert err < 1e-5, err
+
+
 def test_grad_jit_and_eager_agree():
     a, w1, w2 = _setup()
     loss = _loss_of(lambda x: cholqr.fastqr(x, "fp32", method="cholqr2"),
