@@ -86,6 +86,32 @@ def test_jvp_matches_jnp_qr():
             assert err < 1e-5, f"{name}: {err}"
 
 
+def test_second_order_ad():
+    # the jvp rule's primal call is RE-ENTRANT (diff.py): each
+    # differentiation order peels one custom-rule level, so
+    # hessian/grad-of-grad work even through the ladder's while_loop
+    rng = np.random.default_rng(10)
+    a = jnp.asarray(rng.uniform(-1, 1, (32, 6)).astype(np.float32))
+
+    def sn_loss(qr_fn):
+        def f(x):
+            q, r = qr_fn(x)
+            s = jnp.sign(jnp.diagonal(r))
+            s = jnp.where(s == 0, 1.0, s)
+            return jnp.sum((r * s[:, None]) ** 3)
+        return f
+
+    h = jax.hessian(sn_loss(
+        lambda x: cholqr.fastqr(x, "fp32", method="cholqr2")))(a)
+    h_ref = jax.hessian(sn_loss(jnp.linalg.qr))(a)
+    err = float(jnp.linalg.norm(h - h_ref) / jnp.linalg.norm(h_ref))
+    assert err < 1e-5, err
+
+    gg = jax.grad(lambda x: jnp.sum(jax.grad(
+        sn_loss(lambda y: qr_auto_fused(y, "fp32")))(x) ** 2))(a)
+    assert bool(jnp.all(jnp.isfinite(gg)))
+
+
 def test_vjp_transpose_matches_explicit_adjoint():
     # reverse mode is DERIVED (linearize + transpose of the tangent
     # rule); the classical explicit adjoint in diff.qr_adjoint is the

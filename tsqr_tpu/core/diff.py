@@ -124,7 +124,12 @@ def differentiable(fn=None, *, unless=None):
         @qr_d.defjvp
         def _rule(primals, tangents):
             (a,), (da,) = primals, tangents
-            q, r = fn(a, *args, **kwargs)
+            # re-entrant primal call: under higher-order AD `a` is itself
+            # a differentiation tracer, and calling qr_d (not the raw fn)
+            # peels one custom-rule level per order instead of tracing AD
+            # into the while_loop/Pallas internals — this is what makes
+            # jax.hessian / grad-of-grad work through every entry
+            q, r = qr_d(a)
             dq, dr = qr_tangent(q, r, da)
             return (q, r), (dq.astype(q.dtype), dr.astype(r.dtype))
 
