@@ -1,0 +1,77 @@
+"""Randomized column-pivoted (rank-revealing) QR — models/qrcp.py.
+
+No reference analogue (the reference factors full-rank panels only);
+this pins the production rank-deficiency contract: A Π = Q R with a
+non-increasing rank-revealing diagonal from the sketch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsqr_tpu.models import qrcp
+
+
+def test_full_rank_permutation_and_residual():
+    rng = np.random.default_rng(0)
+    m, n = 512, 32
+    a = jnp.asarray(rng.uniform(-1, 1, (m, n)).astype(np.float32))
+    q, r, piv, db = qrcp.pivoted_qr(a, jax.random.PRNGKey(0))
+    piv = np.asarray(piv)
+    assert sorted(piv.tolist()) == list(range(n))
+    ap = np.asarray(a, np.float64)[:, piv]
+    qn, rn = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-6
+    db = np.asarray(db)
+    assert np.all(np.diff(db) <= 1e-5 * db[0])  # rank-revealing order
+
+
+def test_rank_deficient_reveals_rank_and_truncates():
+    rng = np.random.default_rng(1)
+    m, n, rk = 512, 32, 8
+    x = rng.uniform(-1, 1, (m, rk)).astype(np.float32)
+    y = rng.uniform(-1, 1, (rk, n)).astype(np.float32)
+    a = jnp.asarray(x @ y)
+    q, r, piv, db = qrcp.pivoted_qr(a, jax.random.PRNGKey(1))
+    db = np.asarray(db)
+    assert int(np.sum(db > 1e-5 * db[0])) == rk
+    # the revealed rank truncation reconstructs A
+    qn = np.asarray(q, np.float64)[:, :rk]
+    rn = np.asarray(r, np.float64)[:rk, :]
+    ap = np.asarray(a, np.float64)[:, np.asarray(piv)]
+    assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-5
+
+
+def test_decaying_spectrum_orders_diag():
+    # exponentially decaying singular values: the sketch diagonal must
+    # track the decay (within the oblivious-embedding distortion)
+    rng = np.random.default_rng(2)
+    m, n = 1024, 24
+    u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = 2.0 ** -np.arange(n)
+    a = jnp.asarray((u * s) @ v.T, jnp.float32)
+    _, _, _, db = qrcp.pivoted_qr(a, jax.random.PRNGKey(2))
+    db = np.asarray(db, np.float64)
+    # diag_b within a constant factor of the true singular values
+    ratio = db[: n - 4] / s[: n - 4]  # last few hit the f32 noise floor
+    assert ratio.max() / ratio.min() < 64.0
+
+
+def test_jit_and_mesh():
+    from tsqr_tpu.parallel import mesh as mesh_mod
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(-1, 1, (256, 16)).astype(np.float32))
+    q, r, piv, db = jax.jit(qrcp.pivoted_qr)(a, jax.random.PRNGKey(3))
+    ap = np.asarray(a, np.float64)[:, np.asarray(piv)]
+    qn, rn = np.asarray(q, np.float64), np.asarray(r, np.float64)
+    assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-6
+
+    assert len(jax.devices()) >= 8
+    mesh8 = mesh_mod.make_mesh(8)
+    ax = jax.device_put(a, mesh_mod.row_sharding(mesh8))
+    q2, r2, piv2, _ = qrcp.pivoted_qr(ax, jax.random.PRNGKey(3),
+                                      mesh=mesh8, leaf_rows=32)
+    ap2 = np.asarray(a, np.float64)[:, np.asarray(piv2)]
+    q2n, r2n = np.asarray(q2, np.float64), np.asarray(r2, np.float64)
+    assert np.linalg.norm(ap2 - q2n @ r2n) / np.linalg.norm(ap2) < 1e-6
