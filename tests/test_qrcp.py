@@ -58,6 +58,23 @@ def test_decaying_spectrum_orders_diag():
     assert ratio.max() / ratio.min() < 64.0
 
 
+def test_chunked_sketch_large_m():
+    # m > the sketch chunk (2^16): Omega is generated per-chunk on the
+    # fly (never materialized at (l, m)); rank detection must survive
+    rng = np.random.default_rng(4)
+    m, n, rk = 150_000, 16, 5
+    x = rng.standard_normal((m, rk)).astype(np.float32)
+    y = rng.standard_normal((rk, n)).astype(np.float32)
+    a = jnp.asarray(x @ y)
+    q, r, piv, db = qrcp.pivoted_qr(a, jax.random.PRNGKey(4))
+    db = np.asarray(db)
+    assert int(np.sum(db > 1e-5 * db[0])) == rk
+    qn = np.asarray(q, np.float64)[:, :rk]
+    rn = np.asarray(r, np.float64)[:rk, :]
+    ap = np.asarray(a, np.float64)[:, np.asarray(piv)]
+    assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-5
+
+
 def test_jit_and_mesh():
     from tsqr_tpu.parallel import mesh as mesh_mod
     rng = np.random.default_rng(3)
