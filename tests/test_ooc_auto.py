@@ -144,6 +144,12 @@ def test_qr_regen_cholqr_iter_deep_kappa():
     r2, info2 = ooc.qr_regen(gen_u, m, n, "fp32", method="cholqr_iter",
                              chunk_rows=chunk)
     assert float(info2["orthogonality"]) < 1e-6
+    # cheap-dot modes are rejected with the same contract as
+    # cholqr.cholqr_iter (their Gram noise floor defeats both exit
+    # signals — the loop would burn max_shifted full regenerations)
+    with pytest.raises(ValueError, match="cheap-dot"):
+        ooc.qr_regen(gen_u, m, n, "bf16", method="cholqr_iter",
+                     chunk_rows=chunk)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

@@ -144,6 +144,15 @@ def _regen_body(gen_chunk: Callable[[int], Array], n_chunks: int, n: int,
         # each pass is one streamed regeneration of A; under
         # ``reduce=psum`` (dqr_regen) the replicated Gram keeps every
         # device on the same trip count.
+        if policy.mode in cholqr._CHEAP_DOT:
+            # same contract as cholqr.cholqr_iter: a bf16-grade Gram's
+            # noise floor defeats both exit signals, so the loop would
+            # burn max_shifted full regenerations and return unconverged
+            raise ValueError(
+                "qr_regen(method='cholqr_iter'): the cheap-dot modes' "
+                "Gram noise floor defeats the shifted-contraction "
+                f"analysis; use corrected/fp32 modes (got "
+                f"{policy.mode.value!r})")
         g0 = gram_pass(None)
         g0 = (g0 + g0.T) * 0.5
 

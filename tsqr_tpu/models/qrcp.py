@@ -78,7 +78,11 @@ def _qrcp_small(b: Array) -> tuple[Array, Array]:
         v = x.at[k].add(-alpha)
         vtv = jnp.sum(v * v)
         beta = jnp.where(vtv > 0, 2.0 / jnp.where(vtv > 0, vtv, 1.0), 0.0)
-        r = r - beta * jnp.outer(v, v @ r)
+        # full-precision contraction (CLAUDE.md invariant): a default
+        # f32 matmul is bf16-grade on TPU, and the reflection error
+        # compounds over all n steps into diag_b — the rank signal
+        w = modes.mm_fp32(v[None, :], r)[0]
+        r = r - beta * v[:, None] * w[None, :]
         # pin the diagonal exactly (the reflection maps col k to alpha e_k)
         r = r.at[:, k].set(jnp.where(rows[:, 0] == k, alpha,
                                      jnp.where(rows[:, 0] > k, 0.0,
