@@ -1,0 +1,91 @@
+"""On-chip timing rows for the round-4 feature additions: AD backward,
+rank-revealing QR, and batched (vmap) QR.  Appends to data/extras.csv
+(item,m,n,elapsed_time,tflops,orthogonality,note).
+
+Run on the real chip (chain10 / manually once the tunnel is healthy):
+
+    JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache python scripts/time_new_features.py
+
+Claims these rows back:
+  * ad_backward_*: the AD rule costs two (m, n) GEMMs + (n, n)
+    triangular solves on top of the forward (docs/API.md) — so
+    value_and_grad should land near forward + ~2 corrected-Gram-passes'
+    worth of time, NOT a rematerialized-pipeline multiple.
+  * qrcp_*: pivoted_qr = sketch GEMM + small pivoting + fast-path QR;
+    its overhead over bare qr_auto_fused is the sketch + O(n^3) pivot.
+  * vmap_*: batching composes with the fast path at full throughput.
+"""
+
+import csv
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tsqr_tpu.core import cholqr  # noqa: E402
+from tsqr_tpu.core.auto import qr_auto_fused  # noqa: E402
+from tsqr_tpu.models import qrcp  # noqa: E402
+from tsqr_tpu.utils import timing  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "data", "extras.csv")
+MODE = "bf16x6_cor"
+
+
+def row(item, m, n, t, tflops="", orth="", note=""):
+    with open(OUT, "a", newline="") as f:
+        csv.writer(f).writerow(
+            [item, m, n, f"{t:.6e}",
+             f"{tflops:.3f}" if tflops != "" else "",
+             f"{orth:.3e}" if orth != "" else "", note])
+    print(f"{item}: {t * 1e3:.3f} ms  {tflops if tflops != '' else ''} "
+          f"{note}", flush=True)
+
+
+def main():
+    m, n = 1 << 20, 128
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (m, n)).astype(np.float32))
+    qr_flops = 2.0 * m * n * n  # one Gram-pass equivalent, the unit
+
+    # forward baseline (the bench fast path)
+    fwd = lambda x: qr_auto_fused(x, MODE)
+    t_f = timing.time_fn_amortized(fwd, a)
+    row("ad_forward_ladder", m, n, t_f, tflops=qr_flops * 4 / t_f / 1e12,
+        note="forward only, bf16x6_cor")
+
+    # value_and_grad: forward + the custom rule backward
+    loss = lambda x: jnp.sum(qr_auto_fused(x, MODE)[1] ** 2)
+    vg = jax.jit(jax.value_and_grad(loss))
+    t_g = timing.time_fn_amortized(vg, a)
+    row("ad_value_and_grad_ladder", m, n, t_g,
+        note=f"fwd+bwd; overhead {t_g / t_f:.2f}x fwd")
+
+    # rank-revealing QR vs its own QR baseline
+    key = jax.random.PRNGKey(0)
+    pq = jax.jit(lambda x, k: qrcp.pivoted_qr(x, k, MODE))
+    t_p = timing.time_fn_amortized(lambda x: pq(x, key), a)
+    q, r, piv, db = [np.asarray(o) for o in pq(a, key)]
+    orth = float(np.linalg.norm(
+        q.astype(np.float64).T @ q.astype(np.float64) - np.eye(n))
+        / np.sqrt(n))
+    row("qrcp_pivoted", m, n, t_p, orth=orth,
+        note=f"overhead {t_p / t_f:.2f}x plain ladder")
+
+    # batched: 8 x (2^17, 128) panels through one vmapped fast path
+    mb = 1 << 17
+    ab = jnp.asarray(rng.uniform(-1, 1, (8, mb, n)).astype(np.float32))
+    bf = jax.jit(jax.vmap(lambda x: cholqr.fastqr(x, MODE,
+                                                  method="cholqr2")))
+    t_b = timing.time_fn_amortized(bf, ab)
+    row("vmap_fastqr_b8", 8 * mb, n, t_b,
+        tflops=2.0 * 8 * mb * n * n * 4 / t_b / 1e12,
+        note="8-way vmap cholqr2, per-batch 2^17")
+
+
+if __name__ == "__main__":
+    main()
