@@ -257,6 +257,36 @@ def test_svd_consumer_grad():
     assert err < 1e-4, err
 
 
+def test_training_through_qr_converges():
+    # the capability in its actual use: optimize a matrix through the
+    # factorization (nearest-orthonormal-factor objective: drive A's R
+    # factor toward the identity => A toward its own Q).  20 GD steps
+    # through jit(grad(loss)) must reduce the loss monotonically-ish
+    # and by >100x
+    rng = np.random.default_rng(13)
+    a0 = jnp.asarray((np.vstack([np.eye(24), np.zeros((24, 24))])
+                      + 0.3 * rng.standard_normal((48, 24))
+                      ).astype(np.float32))
+
+    @jax.jit
+    def loss(x):
+        _, r = cholqr.fastqr(x, "fp32", method="cholqr2")
+        s = jnp.sign(jnp.diagonal(r))
+        s = jnp.where(s == 0, 1.0, s)
+        return jnp.sum((r * s[:, None] - jnp.eye(24)) ** 2)
+
+    step = jax.jit(lambda x: x - 0.2 * jax.grad(loss)(x))
+    losses = [float(loss(a0))]
+    x = a0
+    for _ in range(20):
+        x = step(x)
+        losses.append(float(loss(x)))
+    assert losses[-1] < losses[0] / 100, losses[::5]
+    # at the optimum A ~ its own orthonormal factor
+    xn = np.asarray(x, np.float64)
+    assert np.linalg.norm(xn.T @ xn - np.eye(24)) / np.sqrt(24) < 1e-2
+
+
 def test_lstsq_end_to_end_grad():
     # argmin differentiation through the consumer: x(A, b) via our QR +
     # triangular solve vs the same solve through jnp.linalg.qr
