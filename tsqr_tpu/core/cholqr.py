@@ -916,6 +916,12 @@ def fastqr(a: Array,
     instead when n is too wide, because their A+Q-only HBM contract
     cannot be honored by the XLA fallback (see cholqr2_fused).
     """
+    m, n = a.shape
+    if m < n:
+        # ≙ the reference's wide-input rejection (blockqr.cu:407); a
+        # wide Gram is singular by construction, so the Cholesky would
+        # only fail later and less legibly
+        raise ValueError(f"fastqr requires m >= n, got {a.shape}")
     if variant != "safe":
         if method not in ("cholqr2_fused", "cholqr3_fused"):
             raise ValueError(
