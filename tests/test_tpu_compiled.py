@@ -231,3 +231,56 @@ def test_predictive_ladder_iter_tier_compiled():
                                     return_info=True)
     assert int(info["tier"][0, 0]) in (2, 3)
     assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-5
+
+
+def test_autodiff_backward_compiled():
+    # the custom_jvp rule's derived backward, Mosaic-COMPILED end to
+    # end: grad through the fused fast path (Pallas forward + plain-XLA
+    # adjoint) is finite and matches the CPU-verified adjoint identity
+    # dA = Q dR for a loss with dQ = 0 cotangent structure checked via
+    # the residual of the returned gradient against qr_adjoint
+    from tsqr_tpu.core import cholqr, diff
+    a = _rand(1 << 14, 128, seed=11)
+    fn = lambda x: cholqr.fastqr(x, "bf16x6_cor", method="cholqr2_fused")
+    (q, r), vjp = jax.vjp(fn, a)
+    rng = np.random.default_rng(11)
+    dq = jnp.asarray(rng.uniform(-1, 1, q.shape).astype(np.float32))
+    dr = jnp.asarray(rng.uniform(-1, 1, r.shape).astype(np.float32))
+    (da,) = vjp((dq.astype(q.dtype), dr.astype(r.dtype)))
+    da_ref = diff.qr_adjoint(q, r, dq, dr)
+    err = float(jnp.linalg.norm(da.astype(jnp.float32) - da_ref)
+                / jnp.linalg.norm(da_ref))
+    assert err < 1e-4, err
+
+
+def test_qrcp_pivoting_compiled():
+    # the sketch + on-device pivoting loop + fused-ladder QR, compiled:
+    # exact rank detection on a rank-deficient input
+    from tsqr_tpu.models import qrcp
+    rng = np.random.default_rng(12)
+    m, n, rk = 1 << 14, 64, 24
+    x = rng.standard_normal((m, rk)).astype(np.float32)
+    y = rng.standard_normal((rk, n)).astype(np.float32)
+    a = jnp.asarray(x @ y)
+    q, r, piv, db = qrcp.pivoted_qr(a, jax.random.PRNGKey(12),
+                                    "bf16x6_cor")
+    db = np.asarray(db)
+    assert int(np.sum(db > 1e-4 * db[0])) == rk
+    qn = np.asarray(q, np.float64)[:, :rk]
+    rn = np.asarray(r, np.float64)[:rk, :]
+    ap = np.asarray(a, np.float64)[:, np.asarray(piv)]
+    assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-4
+
+
+def test_vmap_fastqr_compiled():
+    # 4-way vmapped fused fast path on-chip
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.utils import validation
+    rng = np.random.default_rng(13)
+    ab = jnp.asarray(rng.uniform(-1, 1, (4, 1 << 13, 128))
+                     .astype(np.float32))
+    q, r = jax.vmap(lambda x: cholqr.fastqr(x, "bf16x6_cor",
+                                            method="cholqr2"))(ab)
+    for i in range(4):
+        assert validation.orthogonality(
+            np.asarray(q[i], np.float64)) < 1e-6
