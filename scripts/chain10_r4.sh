@@ -27,7 +27,11 @@ until probe; do
   sleep 600
 done
 
-echo "=== [1/1] new-feature rows start $(date +%T) ==="
+echo "=== [1/2] TPU compiled lane start $(date +%T) ==="
+timeout 3600 python -m pytest tests/test_tpu_compiled.py -q -x
+echo "=== TPU lane done exit=$? $(date +%T) ==="
+
+echo "=== [2/2] new-feature rows start $(date +%T) ==="
 timeout 3600 python -u scripts/time_new_features.py
 rc=$?
 echo "=== new-feature rows done exit=$rc $(date +%T) ==="
