@@ -28,7 +28,8 @@ until probe; do
 done
 
 echo "=== [1/2] TPU compiled lane start $(date +%T) ==="
-timeout 3600 python -m pytest tests/test_tpu_compiled.py -q -x
+TSQR_TEST_PLATFORM=axon timeout 3600 \
+  python -m pytest tests/test_tpu_compiled.py -q -x
 echo "=== TPU lane done exit=$? $(date +%T) ==="
 
 echo "=== [2/2] new-feature rows start $(date +%T) ==="
