@@ -946,6 +946,9 @@ def fastqr_inplace(a: Array,
     io_dtype == a.dtype so the aliased kernel output can reuse the buffer
     (≙ the reference's caller-provided working memory discipline,
     tsqr.hpp:108-119, taken to its TPU conclusion)."""
+    m, n = a.shape
+    if m < n:
+        raise ValueError(f"fastqr_inplace requires m >= n, got {a.shape}")
     if method == "cholqr1_fused":
         return cholqr1_fused(a, mode, inplace=True)
     if method == "cholqr2_fused":
