@@ -75,6 +75,25 @@ def test_chunked_sketch_large_m():
     assert np.linalg.norm(ap - qn @ rn) / np.linalg.norm(ap) < 1e-5
 
 
+def test_pivoted_qr_differentiable():
+    # grads flow through the take + ladder path (piv is integer output,
+    # locally constant); finite-difference spot check on a direction
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.uniform(-1, 1, (256, 16)).astype(np.float32))
+
+    def loss(x):
+        _, r, _, _ = qrcp.pivoted_qr(x, jax.random.PRNGKey(0))
+        return jnp.sum(r ** 2)
+
+    g = jax.grad(loss)(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    v = jnp.asarray(rng.uniform(-1, 1, a.shape).astype(np.float32))
+    eps = 1e-3
+    fd = float((loss(a + eps * v) - loss(a - eps * v)) / (2 * eps))
+    ad = float(jnp.vdot(g, v))
+    assert abs(ad - fd) / abs(fd) < 5e-3, (ad, fd)
+
+
 def test_jit_and_mesh():
     from tsqr_tpu.parallel import mesh as mesh_mod
     rng = np.random.default_rng(3)
