@@ -77,21 +77,26 @@ def test_chunked_sketch_large_m():
 
 def test_pivoted_qr_differentiable():
     # grads flow through the take + ladder path (piv is integer output,
-    # locally constant); finite-difference spot check on a direction
+    # locally constant); finite-difference spot check on a direction.
+    # eps must sit below the pivot-flip scale (a large perturbation can
+    # swap near-tied pivots — a genuine discontinuity of the piv-
+    # dependent loss) yet above the f32 noise floor: 3e-3 satisfies
+    # both across seeds (measured; 1e-2 flips pivots on ~half of them)
     rng = np.random.default_rng(5)
     a = jnp.asarray(rng.uniform(-1, 1, (256, 16)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (16, 16)).astype(np.float32))
 
     def loss(x):
         _, r, _, _ = qrcp.pivoted_qr(x, jax.random.PRNGKey(0))
-        return jnp.sum(r ** 2)
+        return jnp.vdot(w, r ** 2)
 
     g = jax.grad(loss)(a)
     assert bool(jnp.all(jnp.isfinite(g)))
     v = jnp.asarray(rng.uniform(-1, 1, a.shape).astype(np.float32))
-    eps = 1e-3
+    eps = 3e-3
     fd = float((loss(a + eps * v) - loss(a - eps * v)) / (2 * eps))
     ad = float(jnp.vdot(g, v))
-    assert abs(ad - fd) / abs(fd) < 5e-3, (ad, fd)
+    assert abs(ad - fd) / abs(fd) < 1e-2, (ad, fd)
 
 
 def test_jit_and_mesh():
