@@ -16,6 +16,8 @@ A), so the gradients must agree — ``jnp.sign`` contributes zero
 derivative, matching the local constancy of the sign choice.
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,7 +292,9 @@ def test_training_through_qr_converges():
 def test_lstsq_end_to_end_grad():
     # argmin differentiation through the consumer: x(A, b) via our QR +
     # triangular solve vs the same solve through jnp.linalg.qr
-    from tsqr_tpu.models import lstsq as lstsq_mod
+    # package re-exports the lstsq FUNCTION over the submodule name
+    import tsqr_tpu.models.lstsq  # noqa: F401
+    lstsq_mod = sys.modules["tsqr_tpu.models.lstsq"]
     rng = np.random.default_rng(7)
     m, n = 80, 12
     a = jnp.asarray(rng.uniform(-1, 1, (m, n)).astype(np.float32))

@@ -5,7 +5,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tsqr_tpu.models import lanczos, lstsq, rsvd, svd
+from tsqr_tpu.models import lanczos, svd
+
+# the package re-exports the lstsq/rsvd FUNCTIONS under the same names
+# as their submodules (flat API); import the modules explicitly
+import tsqr_tpu.models.lstsq  # noqa: F401  (registers the submodule)
+import tsqr_tpu.models.rsvd  # noqa: F401
+
+import sys
+lstsq = sys.modules["tsqr_tpu.models.lstsq"]
+rsvd = sys.modules["tsqr_tpu.models.rsvd"]
 
 
 def test_rsvd_low_rank_recovery():
@@ -46,7 +55,7 @@ def test_lstsq_and_svd_distributed_mesh():
     # lstsq(mesh=) and tsqr_svd(mesh=): factorization through the
     # distributed drivers, solves/updates local — same answers as the
     # single-device paths
-    from tsqr_tpu.models import lstsq as lstsq_mod, svd as svd_mod
+    lstsq_mod, svd_mod = lstsq, svd  # module handles (see top of file)
     from tsqr_tpu.parallel import mesh as mesh_mod
     rng = np.random.default_rng(3)
     a = rng.uniform(-1, 1, (2048, 24)).astype(np.float32)

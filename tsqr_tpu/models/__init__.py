@@ -1,0 +1,23 @@
+"""Application models built on the QR stack (no reference analogue —
+the CUDA reference stops at QR; these are the factorization's standard
+consumers, each routing all m-scale work through the library's
+MXU-native fast paths and taking ``mesh=`` for multi-chip).
+
+  * :func:`tsqr_svd` — deterministic thin SVD (QR + small SVD).
+  * :func:`rsvd` — randomized SVD (sketch + TSQR orthogonalization).
+  * :func:`block_lanczos` — block Lanczos with TSQR orthogonalization.
+  * :func:`lstsq` — least squares via BlockQR.
+  * :func:`pivoted_qr` — rank-revealing QR (randomized column pivots).
+  * :func:`polar` / :func:`procrustes` — QDWH polar decomposition and
+    the orthogonal Procrustes rotation.
+"""
+
+from tsqr_tpu.models.svd import tsqr_svd
+from tsqr_tpu.models.rsvd import rsvd
+from tsqr_tpu.models.lanczos import block_lanczos
+from tsqr_tpu.models.lstsq import lstsq
+from tsqr_tpu.models.qrcp import pivoted_qr
+from tsqr_tpu.models.polar import polar, procrustes
+
+__all__ = ["tsqr_svd", "rsvd", "block_lanczos", "lstsq", "pivoted_qr",
+           "polar", "procrustes"]
