@@ -398,3 +398,35 @@ def test_psd_norm2_bound_scale_invariant():
         got = float(auto._psd_norm2_bound(x * scale)[0, 0])
         assert np.isfinite(got)
         assert abs(got / (base * scale) - 1.0) < 1e-3
+
+
+def test_auto_fused_defaults_compile_off_fused_backend():
+    # REGRESSION: with the DEFAULT methods ("cholqr1_fused"/
+    # "cholqr3_fused") and 64 <= n, a non-TPU backend used to trace
+    # compiled Pallas through the mid tier ("Only interpret mode is
+    # supported on CPU backend") — the ladder must delegate each
+    # off-fused-range tier to its XLA sibling instead.
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.uniform(-1, 1, (2048, 64)).astype(np.float32))
+    q, r, info = auto.qr_auto_fused(a, "fp32", return_info=True)
+    assert int(info["tier"][0, 0]) == 1
+    qn = np.asarray(q, np.float64)
+    assert validation.orthogonality(qn) < 1e-6
+    assert validation.residual(np.asarray(a, np.float64), qn,
+                               np.asarray(r, np.float64)) < 1e-6
+
+
+def test_auto_fused_corrected_above_fused_n_max():
+    # REGRESSION: n > _fused_n_max for a corrected mode used to hit the
+    # compact-pipeline capacity ValueError at TRACE time through the
+    # ladder's mid tier; now it delegates to the XLA cholqr3 sibling
+    # and the full ladder compiles and runs at any n.
+    rng = np.random.default_rng(12)
+    n = 1056  # just above _fused_n_max(bf16x6_cor) = 1024
+    a = jnp.asarray(rng.uniform(-1, 1, (2048, n)).astype(np.float32))
+    q, r, info = auto.qr_auto_fused(a, "bf16x6_cor", return_info=True)
+    assert int(info["tier"][0, 0]) in (1, 2)
+    qn = np.asarray(q, np.float64)
+    assert validation.orthogonality(qn) < 5e-6
+    assert validation.residual(np.asarray(a, np.float64), qn,
+                               np.asarray(r, np.float64)) < 5e-6

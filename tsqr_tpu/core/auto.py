@@ -270,8 +270,8 @@ def qr_auto_fused(a: Array,
             else:
                 q = policy.mm(a32.astype(jnp.float32), rinv1)
             return q.astype(io), jnp.triu(r1).astype(io)
-        q, r = cholqr.fastqr(a, pmode, method=fast_method,
-                             variant=fast_variant)
+        fm = fast_method if fused else fast_method.removesuffix("_fused")
+        q, r = cholqr.fastqr(a, pmode, method=fm, variant=fast_variant)
         return q.astype(io), jnp.triu(r).astype(io)
 
     def tier3(_):
@@ -293,8 +293,14 @@ def qr_auto_fused(a: Array,
         else:
             mv = mid_variant if policy.mode not in cholqr._CHEAP_DOT \
                 else "safe"
-            try_variant = mv if mid_method.endswith("_fused") else "safe"
-            q_m, r_m = cholqr.fastqr(a, pmode, method=mid_method,
+            # off the fused range/backend, delegate to the XLA sibling:
+            # fastqr("*_fused") would trace compiled Pallas (a compile
+            # error on CPU) or hit the compact capacity raise at
+            # n > _fused_n_max — the ladder must stay compilable there
+            mm = mid_method if mid_fused \
+                else mid_method.removesuffix("_fused")
+            try_variant = mv if mm.endswith("_fused") else "safe"
+            q_m, r_m = cholqr.fastqr(a, pmode, method=mm,
                                      variant=try_variant)
             orth_m = _gate_orth(q_m)
         ok2 = orth_m < tol  # False for NaN
