@@ -10,6 +10,9 @@ MXU-native fast paths and taking ``mesh=`` for multi-chip).
   * :func:`pivoted_qr` — rank-revealing QR (randomized column pivots).
   * :func:`polar` / :func:`procrustes` — QDWH polar decomposition and
     the orthogonal Procrustes rotation.
+  * :func:`subspace_iteration` / :func:`nystrom` — top-k symmetric
+    eigenpairs (orthogonal iteration + Rayleigh-Ritz) and one-shot
+    randomized PSD approximation.
 """
 
 from tsqr_tpu.models.svd import tsqr_svd
@@ -18,6 +21,7 @@ from tsqr_tpu.models.lanczos import block_lanczos
 from tsqr_tpu.models.lstsq import lstsq
 from tsqr_tpu.models.qrcp import pivoted_qr
 from tsqr_tpu.models.polar import polar, procrustes
+from tsqr_tpu.models.subspace import subspace_iteration, nystrom
 
 __all__ = ["tsqr_svd", "rsvd", "block_lanczos", "lstsq", "pivoted_qr",
-           "polar", "procrustes"]
+           "polar", "procrustes", "subspace_iteration", "nystrom"]
