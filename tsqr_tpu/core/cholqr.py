@@ -887,10 +887,126 @@ def cholqr_iter_fused(a: Array,
     return out.astype(policy.io_dtype), r
 
 
+# ---- randomized (sketch-preconditioned) CholeskyQR --------------------------
+
+def sketch_gaussian(a: Array, key: Array, l: int,
+                    chunk_rows: int = 1 << 16) -> Array:
+    """B = Ω A with Ω (l, m) Gaussian, accumulated over row chunks with
+    each Ω chunk generated on the fly (``fold_in(key, i)``) — Ω itself
+    is never materialized, so the sketch works at capacity shapes where
+    an (l, m) Gaussian would dwarf A (l·m f32 ≈ 8.7 GB at m=2^24,
+    n=128).  Per-chunk footprint: one (l, chunk) Ω block + the (l, n)
+    accumulator.  Full-precision contraction always: the sketch steers
+    preconditioning/pivoting decisions downstream, so its error budget
+    is not the compute mode's to spend.  Shared by :func:`rand_cholqr`
+    and the rank-revealing ``models.qrcp``."""
+    m, n = a.shape
+    a32 = a.astype(jnp.float32)
+    if m <= chunk_rows:
+        return modes.mm_fp32(
+            jax.random.normal(key, (l, m), jnp.float32), a32)
+    nc, tail = divmod(m, chunk_rows)
+
+    def body(i, b):
+        om = jax.random.normal(jax.random.fold_in(key, i),
+                               (l, chunk_rows), jnp.float32)
+        ach = jax.lax.dynamic_slice(a32, (i * chunk_rows, 0),
+                                    (chunk_rows, n))
+        return b + modes.mm_fp32(om, ach)
+
+    b = jax.lax.fori_loop(0, nc, body, jnp.zeros((l, n), jnp.float32))
+    if tail:
+        om = jax.random.normal(jax.random.fold_in(key, nc),
+                               (l, tail), jnp.float32)
+        b = b + modes.mm_fp32(om, a32[nc * chunk_rows:])
+    return b
+
+
+def rand_cholqr(a: Array,
+                mode: modes.ComputeMode | str | modes.Policy = "fp32",
+                seed: int = 0,
+                embed: float = 2.0,
+                passes: int = 2) -> tuple[Array, Array]:
+    """Randomized CholeskyQR: kappa-independent stability in FIXED passes.
+
+    Sketch-precondition, then CholeskyQR (Balabanov 2022 "randomized
+    Cholesky QR"; Higgins et al. 2023 rand_cholQR):
+
+      1. B = Ω A, Ω an (l, m) on-the-fly Gaussian, l = embed·n — an
+         oblivious subspace embedding, so w.h.p. sigma(B) brackets
+         sigma(A) within (1 ± ε), ε ≈ sqrt(n/l).
+      2. R_s = qr(B).R on the SMALL (l, n) sketch — O(l n^2) flops.
+      3. X = A R_s^{-1}: kappa(X) <= (1+ε)/(1−ε) ≈ 3-6 w.h.p.,
+         INDEPENDENT of kappa(A) — the whole point.
+      4. CholeskyQR on the tame X (``passes`` = 1 or 2; two passes land
+         on the mode's eps floor since kappa(X)^2 eps << 1 by step 3),
+         R = R_x · R_s.
+
+    vs :func:`cholqr_iter` (the ladder's deep-kappa rung): the iterated
+    method pays a DATA-DEPENDENT number of m-scale passes (~9 shifted +
+    ~3 polish from kappa = 5e6), this one always costs the sketch GEMM
+    (one HBM read of A, 2·l/n Gram-equivalents of MXU work) + 1 apply +
+    ``passes`` CholeskyQR iterations — but is probabilistic where the
+    iterated ladder rung is deterministic, which is why the ladder keeps
+    the measured-gate design and this ships as an explicitly-seeded
+    standalone method (``fastqr(method="rand_cholqr")`` uses seed 0).
+    Deterministic given ``seed``; ``seed`` is static, so the entry stays
+    differentiable through ``fastqr``'s custom QR rule.
+
+    The sketch and the preconditioner APPLY run at full precision
+    whatever the mode (a bf16-grade apply perturbs X by ~eps_bf16 ·
+    kappa(A), destroying the preconditioning for kappa > ~250); the
+    Gram/Q passes use the mode's arithmetic, so output lands at the
+    mode's own grade.  Rank-deficient inputs: the ~eps R_s pivot
+    amplifies rounding noise into the null direction, so Q comes back
+    orthonormal but A != QR — detectable by the residual check (or
+    non-finite if the pivot is exactly zero); same
+    fall-through-to-a-measured-gate contract as every Gram method here,
+    but the failure signal is the residual, not orthogonality.  No
+    reference
+    analogue: the CUDA library's only deep-kappa answer is the
+    Householder path (/root/reference/src/tcqr32x16.cu).
+
+    Requires m >= 2n (the embedding needs l = embed·n <= m sketch rows;
+    near-square inputs belong to the BlockQR/TSQR paths anyway).
+    """
+    policy = modes.resolve(mode)
+    if passes not in (1, 2):
+        raise ValueError(f"rand_cholqr: passes must be 1 or 2, got {passes}")
+    m, n = a.shape
+    l = max(int(embed * n), n + 8)
+    l = -(-l // 8) * 8  # sublane-align the sketch height
+    if m < l:
+        raise ValueError(
+            f"rand_cholqr requires m >= {l} (= embed*{n} sketch rows) "
+            f"for the subspace embedding, got m={m}; use blockqr/tsqr "
+            "for near-square inputs")
+    a32 = a.astype(jnp.float32)
+    b = sketch_gaussian(a32, jax.random.PRNGKey(seed), l)
+    r_s = jnp.linalg.qr(b, mode="r")
+    # canonicalize the Householder sign freedom so diag(R_s) > 0: the
+    # Cholesky passes then keep diag(R) > 0 overall, making the output
+    # factorization unique (hence seed-independent to eps grade)
+    r_s = r_s * jnp.where(jnp.diagonal(r_s) < 0, -1.0, 1.0)[:, None]
+    # full-precision apply: the preconditioner must reach X intact
+    x = modes.mm_fp32(a32, _rinv(r_s))
+    g = modes.gram(x, policy)
+    r1 = _chol_r(g)
+    q = _q_pass(x, r1, policy.mm)
+    rt = modes.mm_fp32(r1, r_s)
+    if passes == 2:
+        g2 = modes.gram(q, policy)
+        r2 = _chol_r(g2)
+        rt = modes.mm_fp32(r2, rt)
+        q = _q_pass(q, r2, policy.mm)
+    return q.astype(policy.io_dtype), jnp.triu(rt).astype(policy.io_dtype)
+
+
 _METHODS = {"cholqr1": cholqr1, "cholqr2": cholqr2, "cholqr3": cholqr3,
             "cholqr1_fused": cholqr1_fused,
             "cholqr2_fused": cholqr2_fused, "cholqr3_fused": cholqr3_fused,
-            "cholqr_iter": cholqr_iter, "cholqr_iter_fused": cholqr_iter_fused}
+            "cholqr_iter": cholqr_iter, "cholqr_iter_fused": cholqr_iter_fused,
+            "rand_cholqr": rand_cholqr}
 
 
 @diff.differentiable
@@ -901,8 +1017,12 @@ def fastqr(a: Array,
            variant: str = "safe") -> tuple[Array, Array]:
     """MXU-native tall-skinny QR (single jit entry point).
 
-    methods: cholqr1/2/3 (pure XLA) and cholqr{1,2,3}_fused (streaming
-    Pallas kernels, TPU only).  ``variant`` trades CholeskyQR's
+    methods: cholqr1/2/3 (pure XLA), cholqr{1,2,3}_fused (streaming
+    Pallas kernels, TPU only), cholqr_iter[_fused] (deep-kappa iterated
+    shifted loop), and rand_cholqr (sketch-preconditioned,
+    kappa-independent in fixed passes; seed 0 here — call
+    :func:`rand_cholqr` directly for a custom seed).  ``variant`` trades
+    CholeskyQR's
     self-correction slack for MXU passes in the fused corrected methods
     (see cholqr2_fused: safe / fast / fastest); other methods accept
     only the default "safe" — a non-default variant on a method that

@@ -94,33 +94,9 @@ def _qrcp_small(b: Array) -> tuple[Array, Array]:
     return piv, jnp.abs(jnp.diagonal(r[:n, :n]))
 
 
-def _sketch(a: Array, key: Array, l: int,
-            chunk_rows: int = 1 << 16) -> Array:
-    """B = Ω A with Ω (l, m) Gaussian, accumulated over row chunks with
-    each Ω chunk generated on the fly (``fold_in(key, i)``) — Ω itself
-    is never materialized, so the sketch works at capacity shapes where
-    an (l, m) Gaussian would dwarf A (l·m f32 ≈ 8.7 GB at m=2^24,
-    n=128).  Per-chunk footprint: one (l, chunk) Ω block + the (l, n)
-    accumulator."""
-    m, n = a.shape
-    a32 = a.astype(jnp.float32)
-    if m <= chunk_rows:
-        return modes.mm_fp32(
-            jax.random.normal(key, (l, m), jnp.float32), a32)
-    nc, tail = divmod(m, chunk_rows)
-
-    def body(i, b):
-        om = jax.random.normal(jax.random.fold_in(key, i),
-                               (l, chunk_rows), jnp.float32)
-        ach = lax.dynamic_slice(a32, (i * chunk_rows, 0), (chunk_rows, n))
-        return b + modes.mm_fp32(om, ach)
-
-    b = lax.fori_loop(0, nc, body, jnp.zeros((l, n), jnp.float32))
-    if tail:
-        om = jax.random.normal(jax.random.fold_in(key, nc),
-                               (l, tail), jnp.float32)
-        b = b + modes.mm_fp32(om, a32[nc * chunk_rows:])
-    return b
+# the chunked on-the-fly Gaussian sketch moved to core/cholqr.py
+# (shared with rand_cholqr); re-exported under the historical name
+from tsqr_tpu.core.cholqr import sketch_gaussian as _sketch  # noqa: E402
 
 
 def pivoted_qr(a: Array, key: Array,
