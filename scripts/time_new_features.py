@@ -1,5 +1,6 @@
 """On-chip timing rows for the round-4 feature additions: AD backward,
-rank-revealing QR, and batched (vmap) QR.  Appends to data/extras.csv
+rank-revealing QR, randomized CholeskyQR, and batched (vmap) QR.
+Appends to data/extras.csv
 (item,m,n,elapsed_time,tflops,orthogonality,note).
 
 Run on the real chip (chain10 / manually once the tunnel is healthy):
@@ -75,6 +76,19 @@ def main():
         / np.sqrt(n))
     row("qrcp_pivoted", m, n, t_p, orth=orth,
         note=f"overhead {t_p / t_f:.2f}x plain ladder")
+
+    # randomized CholeskyQR: the fixed-cost deep-kappa path.  Cost model:
+    # sketch GEMM (l=2n -> 2 Gram-pass equivalents) + fp32 apply (1) +
+    # 2 CholeskyQR passes in the mode (~4 corrected) ~ 8 pass
+    # equivalents, INDEPENDENT of kappa (cholqr_iter pays ~12 m-scale
+    # passes from kappa=5e6; Householder tier-4 is ~150x) — uniform A
+    # times it faithfully because the cost is spectrum-free.
+    rq = jax.jit(lambda x: cholqr.rand_cholqr(x, MODE))
+    t_r = timing.time_fn_amortized(rq, a)
+    q_r = np.asarray(rq(a)[0], np.float64)
+    orth_r = float(np.linalg.norm(q_r.T @ q_r - np.eye(n)) / np.sqrt(n))
+    row("rand_cholqr", m, n, t_r, tflops=qr_flops * 8 / t_r / 1e12,
+        orth=orth_r, note=f"fixed-pass sketch path; {t_r / t_f:.2f}x ladder fwd")
 
     # batched: 8 x (2^17, 128) panels through one vmapped fast path
     mb = 1 << 17
