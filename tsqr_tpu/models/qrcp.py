@@ -43,12 +43,14 @@ Array = jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _qrcp_small(b: Array) -> tuple[Array, Array]:
+def _qrcp_small(b: Array) -> tuple[Array, Array, Array]:
     """Column-pivoted Householder QR of a small (l, n) matrix.
 
-    Returns (piv (n,) int32, rdiag (n,) f32): the pivot order and the
-    |R| diagonal (non-increasing, the rank-revealing signal).  Q is
-    never formed — only the permutation matters.  Static-shape
+    Returns (piv (n,) int32, rdiag (min(l,n),) f32, r (l, n) f32): the
+    pivot order, the |R| diagonal (non-increasing, the rank-revealing
+    signal), and the triangularized R itself — B[:, piv] = Q_s R (the
+    interpolative coefficient source).  Q is never formed — only the
+    permutation and R matter.  Static-shape
     formulation: per step k, one masked argmax over trailing column
     norms, one physical column swap (gather), one masked Householder
     reflection applied full-width (columns already triangularized are
@@ -91,7 +93,7 @@ def _qrcp_small(b: Array) -> tuple[Array, Array]:
 
     r, piv = lax.fori_loop(0, min(l, n), body,
                            (b, jnp.arange(n, dtype=jnp.int32)))
-    return piv, jnp.abs(jnp.diagonal(r[:n, :n]))
+    return piv, jnp.abs(jnp.diagonal(r[:n, :n])), r
 
 
 # the chunked on-the-fly Gaussian sketch moved to core/cholqr.py
@@ -119,7 +121,7 @@ def pivoted_qr(a: Array, key: Array,
         raise ValueError(f"pivoted_qr requires m >= n, got {a.shape}")
     l = min(m, n + oversample)
     b = _sketch(a, key, l)
-    piv, diag_b = _qrcp_small(b)
+    piv, diag_b, _ = _qrcp_small(b)
     ap = jnp.take(a, piv, axis=1)
     if mesh is not None:
         from tsqr_tpu.parallel import dtsqr
@@ -128,3 +130,85 @@ def pivoted_qr(a: Array, key: Array,
         from tsqr_tpu.core.auto import qr_auto_fused
         q, r = qr_auto_fused(ap, mode, **qr_kw)
     return q, r, piv, diag_b
+
+
+def interpolative(a: Array, key: Array, k: int,
+                  oversample: int = 8) -> tuple[Array, Array, Array]:
+    """Column interpolative decomposition: A ~= A[:, cols] @ coeff.
+
+    Sketch-only (Liberty et al. / Martinsson-Tropp structure): the
+    pivots AND the coefficient both come from the column-pivoted QR of
+    the small sketch B = Omega A (l = k + oversample rows), so the only
+    m-scale work is the one sketch GEMM — there is NO m-scale QR at
+    all.  B[:, piv] = Q_s R_s gives T = R_s[:k,:k]^{-1} R_s[:k,:]; the
+    subspace embedding transfers B's column relationships to A's, so
+    ||A - C T|| tracks the sketch-optimal rank-k error w.h.p.
+
+    Returns (cols (k,) int32, coeff (k, n) f32, diag_b (l,) f32):
+    ``a[:, cols] @ coeff`` approximates A in the ORIGINAL column order;
+    ``coeff[:, cols] == I_k`` by construction (the skeleton columns
+    reproduce exactly); ``diag_b`` is the sketch's rank-revealing
+    |R|-diagonal for judging whether k was large enough (a sharp drop
+    before index k means rank(A) < k and R_s[:k,:k] is ill-conditioned
+    — pick k at the drop instead).
+
+    No reference analogue (the CUDA library stops at Q/R).
+    """
+    m, n = a.shape
+    if not 1 <= k <= min(m, n):
+        raise ValueError(f"interpolative: need 1 <= k <= min{a.shape}, "
+                         f"got k={k}")
+    l = min(m, min(n, k + oversample))
+    b = _sketch(a, key, l)
+    piv, diag_b, r_s = _qrcp_small(b)
+    # T in pivot order: columns :k are exactly I_k (R11^{-1} R11)
+    t = jax.scipy.linalg.solve_triangular(
+        r_s[:k, :k], r_s[:k, :], lower=False)
+    inv = jnp.argsort(piv)                 # back to original column order
+    return piv[:k], t[:, inv], diag_b
+
+
+def cur(a: Array, key: Array, k: int,
+        mode: modes.ComputeMode | str = "fp32",
+        oversample: int = 8) -> tuple[Array, Array, Array]:
+    """CUR decomposition: A ~= A[:, cols] @ u @ A[rows, :].
+
+    The self-expressive low-rank factorization — both factors are
+    actual rows/columns of A, so they inherit sparsity /
+    interpretability (the reason CUR exists).  Structure:
+
+      cols   pivots of the column sketch  Omega  A      (one GEMM)
+      rows   pivots of the row sketch     Omega' A^T    (one GEMM)
+      u      (C^+ A) R_r^+ computed stably through QR: C = Q_c R_c by
+             the library ladder (the m-scale tall QR), R_r^+ = Q_r
+             R_rr^{-T} from the small QR of R_r^T — no normal equations
+             anywhere.
+
+    Cost: 2 sketch GEMMs + 1 (m, k) ladder QR + 1 (k, m)@(m, n) GEMM —
+    all MXU-native.  Returns (cols (k,), u (k, k) f32, rows (k,)).
+    Reconstruction error tracks sigma_{k+1} up to the skeleton
+    conditioning; exactly-rank-k inputs reconstruct to eps grade.
+    """
+    m, n = a.shape
+    if not 1 <= k <= min(m, n):
+        raise ValueError(f"cur: need 1 <= k <= min{a.shape}, got k={k}")
+    l_c = min(m, min(n, k + oversample))
+    piv_c, _, _ = _qrcp_small(_sketch(a, key, l_c))
+    l_r = min(n, min(m, k + oversample))
+    piv_r, _, _ = _qrcp_small(_sketch(a.T, jax.random.fold_in(key, 1), l_r))
+    cols, rows = piv_c[:k], piv_r[:k]
+
+    c = jnp.take(a, cols, axis=1).astype(jnp.float32)      # (m, k)
+    r_rows = jnp.take(a, rows, axis=0).astype(jnp.float32)  # (k, n)
+    # C^+ A = R_c^{-1} Q_c^T A through the ladder (tall, m-scale)
+    from tsqr_tpu.core.auto import qr_auto_fused
+    q_c, r_c = qr_auto_fused(c, mode)
+    x = jax.scipy.linalg.solve_triangular(
+        r_c.astype(jnp.float32),
+        modes.mm_fp32(q_c.astype(jnp.float32).T, a.astype(jnp.float32)),
+        lower=False)                                        # (k, n)
+    # R_r^+ = Q_r R_rr^{-T} from the small QR of R_r^T (n, k)
+    q_r, r_rr = jnp.linalg.qr(r_rows.T, mode="reduced")
+    y = modes.mm_fp32(x, q_r)                               # (k, k)
+    u = jax.scipy.linalg.solve_triangular(r_rr, y.T, lower=False).T
+    return cols, u, rows
