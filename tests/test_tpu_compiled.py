@@ -284,3 +284,60 @@ def test_vmap_fastqr_compiled():
     for i in range(4):
         assert validation.orthogonality(
             np.asarray(q[i], np.float64)) < 1e-6
+
+
+def test_rand_cholqr_compiled():
+    # sketch-preconditioned CholeskyQR on-chip: the fori_loop sketch,
+    # the small-QR preconditioner, and the corrected Gram passes in one
+    # compiled program; kappa-independence spot-checked at 1e6
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.utils import latms, validation
+    a, meas = latms.rand_matrix_with_cond(
+        jax.random.PRNGKey(20), 1 << 14, 128, 1e6)
+    assert meas > 9e5
+    q, r = jax.jit(lambda x: cholqr.rand_cholqr(x, "bf16x6_cor"))(a)
+    qn = np.asarray(q, np.float64)
+    assert validation.orthogonality(qn) < 1e-5
+    assert validation.residual(np.asarray(a, np.float64), qn,
+                               np.asarray(r)) < 1e-1
+    assert np.all(np.diag(np.asarray(r)) > 0)
+
+
+def test_lstsq_cgls_compiled():
+    # the preconditioned while_loop compiled on-chip: bounded iterations
+    # and a near-optimal residual at kappa = 1e4
+    from tsqr_tpu.models import lstsq as lstsq_mod
+    from tsqr_tpu.utils import latms
+    a, _ = latms.rand_matrix_with_cond(
+        jax.random.PRNGKey(21), 1 << 13, 64, 1e4)
+    rng = np.random.default_rng(21)
+    b = jnp.asarray(rng.uniform(-1, 1, 1 << 13).astype(np.float32))
+    a32 = jnp.asarray(a, jnp.float32)
+    x, info = lstsq_mod.lstsq_cgls(
+        lambda v: a32 @ v, lambda u: a32.T @ u, b, 64,
+        key=jax.random.PRNGKey(0), tol=1e-6, max_iters=100)
+    assert int(info["iters"]) <= 90
+    a64 = np.asarray(a, np.float64)
+    b64 = np.asarray(b, np.float64)
+    x64 = np.linalg.lstsq(a64, b64, rcond=None)[0]
+    r_opt = np.linalg.norm(a64 @ x64 - b64)
+    r_got = np.linalg.norm(a64 @ np.asarray(x, np.float64) - b64)
+    assert r_got < r_opt * (1 + 1e-3)
+
+
+def test_skeletons_compiled():
+    # interpolative + CUR end-to-end on-chip on an exactly-rank-k input
+    from tsqr_tpu.models import qrcp
+    rng = np.random.default_rng(22)
+    m, n, k = 1 << 14, 96, 12
+    u = np.linalg.qr(rng.standard_normal((m, k)))[0]
+    v = np.linalg.qr(rng.standard_normal((n, k)))[0]
+    a = jnp.asarray((u @ v.T).astype(np.float32))
+    an = np.asarray(a, np.float64)
+    cols, coeff, _ = qrcp.interpolative(a, jax.random.PRNGKey(22), k)
+    rec = an[:, np.asarray(cols)] @ np.asarray(coeff, np.float64)
+    assert np.linalg.norm(rec - an) / np.linalg.norm(an) < 1e-4
+    c_, u_, r_ = qrcp.cur(a, jax.random.PRNGKey(23), k, "bf16x6_cor")
+    rec = (an[:, np.asarray(c_)] @ np.asarray(u_, np.float64)
+           @ an[np.asarray(r_), :])
+    assert np.linalg.norm(rec - an) / np.linalg.norm(an) < 1e-3
