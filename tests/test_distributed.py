@@ -389,3 +389,62 @@ def test_wire_bytes_dcholqr2_independent_of_D():
             mesh, 2048 * D, n)
         seen.append(w["all-reduce"])
     assert seen[0] == seen[1] == (2, 2 * n * n * 4)
+
+
+# ---- distributed sketch + its consumers -------------------------------------
+
+def test_dsketch_matches_manual_shard_sum(mesh8):
+    # the psum semantics pinned exactly: B = sum_d Omega_d A_d with
+    # Omega_d keyed by fold_in(key, d) on each shard's rows
+    from tsqr_tpu.core import cholqr
+    m, n, l = 1024, 16, 40
+    a = _rand(m, n, seed=30)
+    key = jax.random.PRNGKey(7)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    b = np.asarray(dtsqr.dsketch(ax, key, l, mesh8))
+    per = m // 8
+    expect = np.zeros((l, n), np.float32)
+    for d in range(8):
+        shard = jnp.asarray(a[d * per:(d + 1) * per])
+        expect += np.asarray(cholqr.sketch_gaussian(
+            shard, jax.random.fold_in(key, d), l))
+    np.testing.assert_allclose(b, expect, rtol=0, atol=1e-4)
+
+
+def test_rand_cholqr_mesh(mesh8):
+    # sketch-preconditioned CholeskyQR end-to-end on the mesh: the
+    # dsketch psum + GSPMD-distributed apply/Gram passes, hard kappa
+    from tsqr_tpu.core import cholqr
+    from tsqr_tpu.utils import latms
+    a, meas = latms.rand_matrix_with_cond(
+        jax.random.PRNGKey(31), 4096, 48, 1e5)
+    assert meas > 9e4
+    ax = jax.device_put(a, mesh_mod.row_sharding(mesh8))
+    q, r = cholqr.rand_cholqr(ax, "fp32", mesh=mesh8)
+    qn = np.asarray(q, np.float64)
+    assert validation.orthogonality(qn) < 1e-5
+    assert validation.residual(np.asarray(a, np.float64), qn,
+                               np.asarray(r)) < 1e-1
+
+
+def test_interpolative_and_cur_mesh(mesh8):
+    # skeleton factorizations with the m-scale work distributed:
+    # exactly-rank-k input reconstructs through the mesh paths
+    from tsqr_tpu.models import qrcp
+    rng = np.random.default_rng(32)
+    m, n, k = 2048, 48, 6
+    u = np.linalg.qr(rng.standard_normal((m, k)))[0]
+    v = np.linalg.qr(rng.standard_normal((n, k)))[0]
+    a = (u @ v.T).astype(np.float32)
+    ax = jax.device_put(jnp.asarray(a), mesh_mod.row_sharding(mesh8))
+    an = a.astype(np.float64)
+
+    cols, coeff, _ = qrcp.interpolative(ax, jax.random.PRNGKey(33), k,
+                                        mesh=mesh8)
+    rec = an[:, np.asarray(cols)] @ np.asarray(coeff, np.float64)
+    assert np.linalg.norm(rec - an) / np.linalg.norm(an) < 1e-4
+
+    c_, u_, r_ = qrcp.cur(ax, jax.random.PRNGKey(34), k, mesh=mesh8)
+    rec = (an[:, np.asarray(c_)] @ np.asarray(u_, np.float64)
+           @ an[np.asarray(r_), :])
+    assert np.linalg.norm(rec - an) / np.linalg.norm(an) < 1e-4

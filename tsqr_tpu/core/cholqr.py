@@ -890,7 +890,7 @@ def cholqr_iter_fused(a: Array,
 # ---- randomized (sketch-preconditioned) CholeskyQR --------------------------
 
 def sketch_gaussian(a: Array, key: Array, l: int,
-                    chunk_rows: int = 1 << 16) -> Array:
+                    chunk_rows: int = 1 << 16, mesh=None) -> Array:
     """B = Ω A with Ω (l, m) Gaussian, accumulated over row chunks with
     each Ω chunk generated on the fly (``fold_in(key, i)``) — Ω itself
     is never materialized, so the sketch works at capacity shapes where
@@ -899,7 +899,17 @@ def sketch_gaussian(a: Array, key: Array, l: int,
     accumulator.  Full-precision contraction always: the sketch steers
     preconditioning/pivoting decisions downstream, so its error budget
     is not the compute mode's to spend.  Shared by :func:`rand_cholqr`
-    and the rank-revealing ``models.qrcp``."""
+    and the rank-revealing ``models.qrcp``.
+
+    ``mesh``: row-shard A over a `parallel.mesh` Mesh — each chip
+    contracts its own on-the-fly Ω block with its local rows and the
+    (l, n) partials reduce in ONE psum (`parallel.dtsqr.dsketch`); B
+    comes back replicated.  The draw differs from the single-chip one
+    (Ω blocks are keyed per shard), same as different ``chunk_rows``
+    draw different Ω — statistics, not values, are the contract."""
+    if mesh is not None:
+        from tsqr_tpu.parallel import dtsqr
+        return dtsqr.dsketch(a, key, l, mesh, chunk_rows=chunk_rows)
     m, n = a.shape
     a32 = a.astype(jnp.float32)
     if m <= chunk_rows:
@@ -926,7 +936,8 @@ def rand_cholqr(a: Array,
                 mode: modes.ComputeMode | str | modes.Policy = "fp32",
                 seed: int = 0,
                 embed: float = 2.0,
-                passes: int = 2) -> tuple[Array, Array]:
+                passes: int = 2,
+                mesh=None) -> tuple[Array, Array]:
     """Randomized CholeskyQR: kappa-independent stability in FIXED passes.
 
     Sketch-precondition, then CholeskyQR (Balabanov 2022 "randomized
@@ -969,6 +980,12 @@ def rand_cholqr(a: Array,
 
     Requires m >= 2n (the embedding needs l = embed·n <= m sketch rows;
     near-square inputs belong to the BlockQR/TSQR paths anyway).
+
+    ``mesh``: run multi-chip on a row-sharded A — the sketch reduces in
+    one (l, n) psum (`dsketch`), the small preconditioner QR is
+    replicated, and the Gram/apply passes self-distribute under GSPMD
+    (computation follows sharding; the Gram contraction becomes the
+    same (n, n) allreduce `dcholqr` pays).
     """
     policy = modes.resolve(mode)
     if passes not in (1, 2):
@@ -982,7 +999,7 @@ def rand_cholqr(a: Array,
             f"for the subspace embedding, got m={m}; use blockqr/tsqr "
             "for near-square inputs")
     a32 = a.astype(jnp.float32)
-    b = sketch_gaussian(a32, jax.random.PRNGKey(seed), l)
+    b = sketch_gaussian(a32, jax.random.PRNGKey(seed), l, mesh=mesh)
     r_s = jnp.linalg.qr(b, mode="r")
     # canonicalize the Householder sign freedom so diag(R_s) > 0: the
     # Cholesky passes then keep diag(R) > 0 overall, making the output

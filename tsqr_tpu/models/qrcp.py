@@ -120,7 +120,7 @@ def pivoted_qr(a: Array, key: Array,
     if m < n:
         raise ValueError(f"pivoted_qr requires m >= n, got {a.shape}")
     l = min(m, n + oversample)
-    b = _sketch(a, key, l)
+    b = _sketch(a, key, l, mesh=mesh)
     piv, diag_b, _ = _qrcp_small(b)
     ap = jnp.take(a, piv, axis=1)
     if mesh is not None:
@@ -133,7 +133,8 @@ def pivoted_qr(a: Array, key: Array,
 
 
 def interpolative(a: Array, key: Array, k: int,
-                  oversample: int = 8) -> tuple[Array, Array, Array]:
+                  oversample: int = 8,
+                  mesh=None) -> tuple[Array, Array, Array]:
     """Column interpolative decomposition: A ~= A[:, cols] @ coeff.
 
     Sketch-only (Liberty et al. / Martinsson-Tropp structure): the
@@ -153,13 +154,17 @@ def interpolative(a: Array, key: Array, k: int,
     — pick k at the drop instead).
 
     No reference analogue (the CUDA library stops at Q/R).
+
+    ``mesh``: row-shard A — the whole m-scale cost (the one sketch
+    GEMM) reduces in a single (l, n) psum (`dtsqr.dsketch`); pivoting
+    and the coefficient solve are replicated small work.
     """
     m, n = a.shape
     if not 1 <= k <= min(m, n):
         raise ValueError(f"interpolative: need 1 <= k <= min{a.shape}, "
                          f"got k={k}")
     l = min(m, min(n, k + oversample))
-    b = _sketch(a, key, l)
+    b = _sketch(a, key, l, mesh=mesh)
     piv, diag_b, r_s = _qrcp_small(b)
     # T in pivot order: columns :k are exactly I_k (R11^{-1} R11)
     t = jax.scipy.linalg.solve_triangular(
@@ -170,7 +175,7 @@ def interpolative(a: Array, key: Array, k: int,
 
 def cur(a: Array, key: Array, k: int,
         mode: modes.ComputeMode | str = "fp32",
-        oversample: int = 8) -> tuple[Array, Array, Array]:
+        oversample: int = 8, mesh=None) -> tuple[Array, Array, Array]:
     """CUR decomposition: A ~= A[:, cols] @ u @ A[rows, :].
 
     The self-expressive low-rank factorization — both factors are
@@ -188,12 +193,18 @@ def cur(a: Array, key: Array, k: int,
     all MXU-native.  Returns (cols (k,), u (k, k) f32, rows (k,)).
     Reconstruction error tracks sigma_{k+1} up to the skeleton
     conditioning; exactly-rank-k inputs reconstruct to eps grade.
+
+    ``mesh``: row-shard A — the column sketch reduces via `dsketch`,
+    C's QR runs through the distributed ladder (`dqr_auto`), and the
+    (k, m)@(m, n) contraction self-distributes under GSPMD.  The row
+    sketch Omega' A^T contracts over the small replicated n axis (an
+    all-gather-shaped output, no psum), so it needs no explicit driver.
     """
     m, n = a.shape
     if not 1 <= k <= min(m, n):
         raise ValueError(f"cur: need 1 <= k <= min{a.shape}, got k={k}")
     l_c = min(m, min(n, k + oversample))
-    piv_c, _, _ = _qrcp_small(_sketch(a, key, l_c))
+    piv_c, _, _ = _qrcp_small(_sketch(a, key, l_c, mesh=mesh))
     l_r = min(n, min(m, k + oversample))
     piv_r, _, _ = _qrcp_small(_sketch(a.T, jax.random.fold_in(key, 1), l_r))
     cols, rows = piv_c[:k], piv_r[:k]
@@ -201,8 +212,12 @@ def cur(a: Array, key: Array, k: int,
     c = jnp.take(a, cols, axis=1).astype(jnp.float32)      # (m, k)
     r_rows = jnp.take(a, rows, axis=0).astype(jnp.float32)  # (k, n)
     # C^+ A = R_c^{-1} Q_c^T A through the ladder (tall, m-scale)
-    from tsqr_tpu.core.auto import qr_auto_fused
-    q_c, r_c = qr_auto_fused(c, mode)
+    if mesh is not None:
+        from tsqr_tpu.parallel import dtsqr
+        q_c, r_c = dtsqr.dqr_auto(c, mesh, mode)
+    else:
+        from tsqr_tpu.core.auto import qr_auto_fused
+        q_c, r_c = qr_auto_fused(c, mode)
     x = jax.scipy.linalg.solve_triangular(
         r_c.astype(jnp.float32),
         modes.mm_fp32(q_c.astype(jnp.float32).T, a.astype(jnp.float32)),

@@ -581,3 +581,38 @@ def dqr_regen(gen_chunk, m: int, n: int, mesh: Mesh,
                    out_specs=(P(), P(), P(), P()), check_vma=False)
     r, orth, resid, rinv = jax.jit(fn)()
     return r, {"orthogonality": orth, "residual": resid, "rinv": rinv}
+
+
+def dsketch(a: Array, key: Array, l: int, mesh: Mesh,
+            axis: str = ROWS_AXIS, chunk_rows: int = 1 << 16) -> Array:
+    """Distributed Gaussian sketch B = Omega A of a row-sharded (m, n).
+
+    Each chip generates its own Omega column-block on the fly
+    (``fold_in(key, shard_index)`` — Omega is never materialized
+    anywhere) and contracts it with its local rows; the (l, n) partials
+    reduce in ONE psum.  Communication: l*n*4 bytes on ICI, independent
+    of m — the same m-independent bound as the Gram reduction
+    (``dcholqr``).  B comes back replicated on every chip, ready for
+    the small pivoted QR / preconditioner QR that consumes it
+    (`core.cholqr.rand_cholqr`, `models.qrcp`).
+
+    The draw differs from the single-chip `sketch_gaussian` (blocks are
+    keyed per shard) — the embedding STATISTICS are the contract, not
+    the values, exactly as with a different ``chunk_rows``.
+    """
+    from tsqr_tpu.core import cholqr
+
+    axis = _row_axes(mesh, axis)
+    n_dev = _axes_size(mesh, axis)
+    m, n = a.shape
+    assert m % n_dev == 0, f"m={m} must divide over {n_dev} devices"
+
+    def shard_fn(a_shard):
+        k_loc = jax.random.fold_in(key, _linear_index(axis))
+        b_loc = cholqr.sketch_gaussian(a_shard.astype(jnp.float32),
+                                       k_loc, l, chunk_rows=chunk_rows)
+        return lax.psum(b_loc, axis)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(), check_vma=False)
+    return fn(a)
