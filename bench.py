@@ -95,7 +95,7 @@ def run(m: int, n: int, k: int, iter_tier: bool = True) -> dict:
     }
 
 
-def probe_tunnel(timeout_s: float = 240.0) -> bool:
+def probe_tunnel(timeout_s: float = 90.0) -> bool:
     """Fail-fast tunnel health check: a 1-element device op in a fresh
     subprocess with a short timeout.  The tunnel's known failure mode is
     a WEDGE (trivial ops hang forever — CLAUDE.md); without this probe a
@@ -137,19 +137,25 @@ def main():
 
     import subprocess
     import time
-    # fail fast on a wedged tunnel, with a few spaced retries (a wedge
-    # sometimes clears within minutes)
-    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    # fail fast on a wedged tunnel, but keep probing across a long
+    # window: a healthy tunnel answers a probe in <30 s, so each cycle is
+    # cheap diagnosis, and wedges have been observed to clear mid-window.
+    # Every attempt prints a timestamped line, so even a driver-side
+    # rc=124 leaves a diagnosable tail (the r03 failure mode was burning
+    # full configs into the timeout with no evidence).
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "12"))
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
     for attempt in range(retries):
-        if probe_tunnel():
+        if probe_tunnel(timeout_s):
             break
         if attempt + 1 < retries:
-            print(f"bench: probe retry {attempt + 2}/{retries} in 120 s",
+            print(f"bench: probe retry {attempt + 2}/{retries} in 120 s "
+                  f"({time.strftime('%H:%M:%S')})",
                   file=sys.stderr, flush=True)
             time.sleep(120)
     else:
-        print("bench: TPU tunnel is wedged — aborting fast (no number "
-              "this run; the official record stands)", file=sys.stderr,
+        print("bench: TPU tunnel is wedged — aborting (no number this "
+              "run; the official record stands)", file=sys.stderr,
               flush=True)
         sys.exit(3)
 
