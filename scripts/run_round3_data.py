@@ -40,6 +40,35 @@ MODES = ["fp32", "bf16_nocor", "bf16x3_cor", "bf16x6_cor"]
 KW = dict(panel_width=128, leaf_rows=2048)
 
 
+def _tmp_csv(name):
+    """Tmp path for regenerating data/<name> without risking committed
+    evidence: sections write here and call _swap_csv(name) on
+    completion.  A timeout kill mid-section (the tunnel's wedge mode is
+    a hang, and it half-truncated cond.csv in round 3) or an all-error
+    run leaves the previously committed file untouched."""
+    return DATA / (name + ".tmp")
+
+
+def _swap_csv(name):
+    """Replace data/<name> with its .tmp ONLY if the tmp holds at least
+    one non-comment data row past the header."""
+    tmp = _tmp_csv(name)
+    try:
+        lines = tmp.read_text().splitlines()
+    except OSError:
+        return
+    rows = [ln for ln in lines[1:]
+            if ln.strip() and not ln.lstrip().startswith("#")]
+    if rows:
+        os.replace(tmp, DATA / name)
+        print(f"{name}: swapped in {len(rows)} data rows",
+              file=sys.stderr, flush=True)
+    else:
+        tmp.unlink()
+        print(f"{name}: produced no data rows — keeping the committed "
+              "file", file=sys.stderr, flush=True)
+
+
 def cond16():
     """RESUMABLE: the tunnel wedged 63 rows into the first run (process
     blocked 40 min on a device response, CPU clock frozen) — completed
@@ -87,8 +116,9 @@ def cond16():
 def mfu():
     from tsqr_tpu.harness import mfu as mfu_mod
 
-    with open(DATA / "mfu.csv", "w") as f:
+    with open(_tmp_csv("mfu.csv"), "w") as f:
         mfu_mod.sweep(out=f)
+    _swap_csv("mfu.csv")
 
 
 def robust():
@@ -115,7 +145,7 @@ def robust():
             f.write(f"# error {item}: {exc_note(e)}\n")
         f.flush()
 
-    with open(DATA / "robust.csv", "w") as f:
+    with open(_tmp_csv("robust.csv"), "w") as f:
         f.write("item,m,n,elapsed_time,useful_tflops,orthogonality,note\n")
         row(f, "cholqr1_fused[x6]", lambda x: cholqr.fastqr(
             x, "bf16x6_cor", method="cholqr1_fused"))
@@ -183,7 +213,7 @@ ufl = flops_mod.qr_flops(m_l, n)
 print(f"ROW ladder[pred/x6/bench],{{m_l}},{{n}},{{t:.6e}},"
       f"{{ufl/t/1e12:.3f}},{{orth:.3e}},distinct_k={{k_l}}", flush=True)
 """
-    with open(DATA / "robust.csv", "a") as f:
+    with open(_tmp_csv("robust.csv"), "a") as f:
         try:
             res = subprocess.run([sys.executable, "-u", "-c", code],
                                  capture_output=True, text=True,
@@ -199,6 +229,7 @@ print(f"ROW ladder[pred/x6/bench],{{m_l}},{{n}},{{t:.6e}},"
         except Exception as e:
             f.write(f"# error ladder[pred/x6/bench]: {exc_note(e)}\n")
         f.flush()
+    _swap_csv("robust.csv")
 
 
 def ladder():
@@ -228,7 +259,7 @@ def ladder():
                                   mid_method="cholqr3_fused",
                                   mid_variant="compact", return_info=True)
 
-    with open(DATA / "ladder.csv", "w") as f:
+    with open(_tmp_csv("ladder.csv"), "w") as f:
         f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
                 "orthogonality,residual,elapsed_time\n")
         for k in range(0, 17, 2):
@@ -257,6 +288,7 @@ def ladder():
             except Exception as e:
                 f.write(f"# error kappa=2^{k}: {exc_note(e)}\n")
             f.flush()
+    _swap_csv("ladder.csv")
 
 
 def bigm3():
@@ -311,7 +343,7 @@ def bigm3():
         f.flush()
         gc.collect()
 
-    with open(DATA / "bigm3.csv", "w") as f:
+    with open(_tmp_csv("bigm3.csv"), "w") as f:
         f.write("m,n,mode_method,elapsed_time,tflops,orthogonality\n")
         row(f, "bf16x6_cor/cholqr3_fused[compact+inplace]", 1 << 24,
             lambda: (lambda x: cholqr.fastqr_inplace(
@@ -325,6 +357,7 @@ def bigm3():
             lambda: (lambda x: cholqr.fastqr(
                 x, "bf16x6_cor", method="cholqr1_fused")), jnp.float32,
             False)
+    _swap_csv("bigm3.csv")
 
 
 def perfm16():
@@ -373,7 +406,7 @@ fl = flops_mod.qr_flops(m, n)
 print("ROW %%d,16,float32,bf16x6_cor[cholqr2/donated],0,%%.6e,%%.4f,0"
       %% (m, t, fl / t / 1e12), flush=True)
 """
-    with open(DATA / "perf_m16.csv", "w") as f:
+    with open(_tmp_csv("perf_m16.csv"), "w") as f:
         print(speed.CSV_HEADER, file=f, flush=True)
         for m in ms:
             if m * n >= 1 << 29:
@@ -431,6 +464,7 @@ print("ROW %%d,16,float32,bf16x6_cor[cholqr2/donated],0,%%.6e,%%.4f,0"
                 print(f"# error golden m={m}: " + exc_note(e), file=f,
                       flush=True)
             gc.collect()
+    _swap_csv("perf_m16.csv")
 
 
 SECTIONS = {"cond16": cond16, "mfu": mfu, "robust": robust,
