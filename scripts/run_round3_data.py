@@ -49,6 +49,19 @@ def _tmp_csv(name):
     return DATA / (name + ".tmp")
 
 
+def _done_keys(name):
+    """First-column keys already present in <name>.tmp — lets a section
+    RESUME after a flapping-tunnel kill: completed rows persist in the
+    tmp across attempts and only the missing items re-run."""
+    tmp = _tmp_csv(name)
+    done = set()
+    if tmp.exists():
+        for ln in tmp.read_text().splitlines()[1:]:
+            if ln.strip() and not ln.lstrip().startswith("#"):
+                done.add(ln.split(",")[0])
+    return done
+
+
 def _swap_csv(name):
     """Replace data/<name> with its .tmp ONLY if the tmp holds at least
     one non-comment data row past the header."""
@@ -121,6 +134,10 @@ def mfu():
     _swap_csv("mfu.csv")
 
 
+class _AlreadyDone(BaseException):
+    pass
+
+
 def robust():
     import jax
     import jax.numpy as jnp
@@ -133,7 +150,11 @@ def robust():
                            -1, 1)
     useful = flops_mod.qr_flops(m, n)
 
+    done = _done_keys("robust.csv")
+
     def row(f, item, fn):
+        if item in done:
+            return
         try:
             q, r = jax.jit(fn)(a)
             orth = validation.orthogonality_accurate(q)
@@ -145,8 +166,10 @@ def robust():
             f.write(f"# error {item}: {exc_note(e)}\n")
         f.flush()
 
-    with open(_tmp_csv("robust.csv"), "w") as f:
-        f.write("item,m,n,elapsed_time,useful_tflops,orthogonality,note\n")
+    with open(_tmp_csv("robust.csv"), "a" if done else "w") as f:
+        if not done:
+            f.write("item,m,n,elapsed_time,useful_tflops,orthogonality,"
+                    "note\n")
         row(f, "cholqr1_fused[x6]", lambda x: cholqr.fastqr(
             x, "bf16x6_cor", method="cholqr1_fused"))
         row(f, "cholqr2_fused[x6/fast]", lambda x: cholqr.fastqr(
@@ -160,28 +183,33 @@ def robust():
         # proven-fit config: the serialize barrier still lets XLA overlap
         # ~2 calls, so K inputs + 2 calls' temps must fit HBM (2^21 x K=4
         # measured OOM).
+        want = {"ladder[pred/x6]", "cholqr1_fused[x6/distinct]"} - done
         try:
-            m_l, k_l = 1 << 20, 6
-            keys = jax.random.split(jax.random.PRNGKey(0), k_l)
-            xs = tuple(jax.random.uniform(kk, (m_l, n), jnp.float32,
-                                          -1, 1) for kk in keys)
-            lfn = lambda x: auto.qr_auto_fused(  # noqa: E731
-                x, "bf16x6_cor", fast_method="cholqr1_fused",
-                mid_method="cholqr3_fused", mid_variant="compact")
-            q, r = jax.jit(lfn)(xs[0])
-            orth = validation.orthogonality_accurate(q)
-            del q, r
-            t = timing.time_fn_distinct(lfn, xs, reps=3)
-            ufl = flops_mod.qr_flops(m_l, n)
-            f.write(f"ladder[pred/x6],{m_l},{n},{t:.6e},"
-                    f"{ufl/t/1e12:.3f},{orth:.3e},distinct_k={k_l}\n")
-            # bare tier-1 method under the SAME harness: the ladder's
-            # measured overhead is the difference
-            bfn = lambda x: cholqr.fastqr(  # noqa: E731
-                x, "bf16x6_cor", method="cholqr1_fused")
-            t_b = timing.time_fn_distinct(bfn, xs, reps=3)
-            f.write(f"cholqr1_fused[x6/distinct],{m_l},{n},{t_b:.6e},"
-                    f"{ufl/t_b/1e12:.3f},,distinct_k={k_l}\n")
+            if want:
+                m_l, k_l = 1 << 20, 6
+                keys = jax.random.split(jax.random.PRNGKey(0), k_l)
+                xs = tuple(jax.random.uniform(kk, (m_l, n), jnp.float32,
+                                              -1, 1) for kk in keys)
+                ufl = flops_mod.qr_flops(m_l, n)
+            if "ladder[pred/x6]" in want:
+                lfn = lambda x: auto.qr_auto_fused(  # noqa: E731
+                    x, "bf16x6_cor", fast_method="cholqr1_fused",
+                    mid_method="cholqr3_fused", mid_variant="compact")
+                q, r = jax.jit(lfn)(xs[0])
+                orth = validation.orthogonality_accurate(q)
+                del q, r
+                t = timing.time_fn_distinct(lfn, xs, reps=3)
+                f.write(f"ladder[pred/x6],{m_l},{n},{t:.6e},"
+                        f"{ufl/t/1e12:.3f},{orth:.3e},distinct_k={k_l}\n")
+                f.flush()
+            if "cholqr1_fused[x6/distinct]" in want:
+                # bare tier-1 method under the SAME harness: the ladder's
+                # measured overhead is the difference
+                bfn = lambda x: cholqr.fastqr(  # noqa: E731
+                    x, "bf16x6_cor", method="cholqr1_fused")
+                t_b = timing.time_fn_distinct(bfn, xs, reps=3)
+                f.write(f"cholqr1_fused[x6/distinct],{m_l},{n},{t_b:.6e},"
+                        f"{ufl/t_b/1e12:.3f},,distinct_k={k_l}\n")
         except Exception as e:
             f.write(f"# error ladder[pred/x6]: {exc_note(e)}\n")
         f.flush()
@@ -215,6 +243,8 @@ print(f"ROW ladder[pred/x6/bench],{{m_l}},{{n}},{{t:.6e}},"
 """
     with open(_tmp_csv("robust.csv"), "a") as f:
         try:
+            if "ladder[pred/x6/bench]" in done:
+                raise _AlreadyDone
             res = subprocess.run([sys.executable, "-u", "-c", code],
                                  capture_output=True, text=True,
                                  timeout=1800, env=dict(os.environ))
@@ -226,6 +256,8 @@ print(f"ROW ladder[pred/x6/bench],{{m_l}},{{n}},{{t:.6e}},"
             f.write(rows[-1] + "\n")
             print(f"robust bench-config: {rows[-1]}", file=sys.stderr,
                   flush=True)
+        except _AlreadyDone:
+            pass
         except Exception as e:
             f.write(f"# error ladder[pred/x6/bench]: {exc_note(e)}\n")
         f.flush()
@@ -259,10 +291,14 @@ def ladder():
                                   mid_method="cholqr3_fused",
                                   mid_variant="compact", return_info=True)
 
-    with open(_tmp_csv("ladder.csv"), "w") as f:
-        f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
-                "orthogonality,residual,elapsed_time\n")
+    done = _done_keys("ladder.csv")
+    with open(_tmp_csv("ladder.csv"), "a" if done else "w") as f:
+        if not done:
+            f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
+                    "orthogonality,residual,elapsed_time\n")
         for k in range(0, 17, 2):
+            if str(2 ** k) in done:
+                continue
             try:
                 xs, meas = [], 0.0
                 for j in range(3):  # distinct draws for the timing chain
