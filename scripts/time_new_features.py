@@ -90,6 +90,15 @@ def main():
     row("rand_cholqr", m, n, t_r, tflops=qr_flops * 8 / t_r / 1e12,
         orth=orth_r, note=f"fixed-pass sketch path; {t_r / t_f:.2f}x ladder fwd")
 
+    # CCA consumer: two tall QRs + small SVD — the m-scale cost should
+    # be ~2 ladder forwards (the SVD/solves are (n, n)-scale noise)
+    from tsqr_tpu.models import cca as cca_mod
+    yb = jnp.asarray(rng.uniform(-1, 1, (m, 64)).astype(np.float32))
+    cf = jax.jit(lambda x, y: cca_mod.cca(x, y, mode=MODE)[0])
+    t_c = timing.time_fn_amortized(lambda x: cf(x, yb), a)
+    row("cca_128x64", m, n, t_c,
+        note=f"two QRs + small SVD; {t_c / t_f:.2f}x ladder fwd")
+
     # batched: 8 x (2^17, 128) panels through one vmapped fast path
     mb = 1 << 17
     ab = jnp.asarray(rng.uniform(-1, 1, (8, mb, n)).astype(np.float32))

@@ -17,6 +17,8 @@ MXU-native fast paths and taking ``mesh=`` for multi-chip).
   * :func:`subspace_iteration` / :func:`nystrom` — top-k symmetric
     eigenpairs (orthogonal iteration + Rayleigh-Ritz) and one-shot
     randomized PSD approximation.
+  * :func:`cca` — canonical correlation analysis (Björck–Golub: two
+    tall QRs + small SVD of Qx^T Qy).
 """
 
 from tsqr_tpu.models.svd import tsqr_svd
@@ -26,7 +28,9 @@ from tsqr_tpu.models.lstsq import lstsq, lstsq_cgls
 from tsqr_tpu.models.qrcp import pivoted_qr, interpolative, cur
 from tsqr_tpu.models.polar import polar, procrustes
 from tsqr_tpu.models.subspace import subspace_iteration, nystrom
+from tsqr_tpu.models.cca import cca
 
 __all__ = ["tsqr_svd", "rsvd", "block_lanczos", "lstsq", "lstsq_cgls",
            "pivoted_qr", "interpolative", "cur",
-           "polar", "procrustes", "subspace_iteration", "nystrom"]
+           "polar", "procrustes", "subspace_iteration", "nystrom",
+           "cca"]
