@@ -68,8 +68,21 @@ print(f"OK {item}: t={t*1e3:.1f} ms orth={orth:.3e}", flush=True)
 EOF
 }
 
-echo "m,n,mode_method,elapsed_time,tflops,orthogonality" > data/bigm3.csv
+# append-safe: keep landed rows across restarts (a restart used to
+# truncate the file), skip rows whose item string is already present
+if [ ! -s data/bigm3.csv ]; then
+  echo "m,n,mode_method,elapsed_time,tflops,orthogonality" > data/bigm3.csv
+fi
+declare -A ITEM
+ITEM[x6_cholqr1_2e23]="8388608,128,bf16x6_cor/cholqr1_fused"
+ITEM[bf16_inplace_2e24]="16777216,128,bf16/cholqr1_fused\[inplace\]"
+ITEM[bf16_inplace_2e25]="33554432,128,bf16/cholqr1_fused\[inplace\]"
+ITEM[compact_inplace_f32_2e24]="16777216,128,bf16x6_cor/cholqr3_fused"
 for row in x6_cholqr1_2e23 bf16_inplace_2e24 bf16_inplace_2e25 compact_inplace_f32_2e24; do
+  if grep -q "^${ITEM[$row]}" data/bigm3.csv; then
+    echo "=== row $row already landed — skip ==="
+    continue
+  fi
   echo "=== row $row start $(date +%T) ==="
   run_row "$row"
   echo "=== row $row done exit=$? $(date +%T) ==="

@@ -62,24 +62,39 @@ def _done_keys(name):
     return done
 
 
+def _data_rows(lines):
+    return [ln for ln in lines[1:]
+            if ln.strip() and not ln.lstrip().startswith("#")]
+
+
 def _swap_csv(name):
-    """Replace data/<name> with its .tmp ONLY if the tmp holds at least
-    one non-comment data row past the header."""
+    """Publish data/<name>.tmp by MERGING over the committed file, keyed
+    on the first column: fresh tmp rows win on key collision, committed
+    rows without a fresh replacement are KEPT.  (The previous wholesale
+    os.replace let a mostly-failed section shrink a committed multi-row
+    evidence file to one row — ADVICE r4.)  No-op if the tmp holds no
+    data rows."""
     tmp = _tmp_csv(name)
     try:
-        lines = tmp.read_text().splitlines()
+        tmp_lines = tmp.read_text().splitlines()
     except OSError:
         return
-    rows = [ln for ln in lines[1:]
-            if ln.strip() and not ln.lstrip().startswith("#")]
-    if rows:
-        os.replace(tmp, DATA / name)
-        print(f"{name}: swapped in {len(rows)} data rows",
-              file=sys.stderr, flush=True)
-    else:
+    fresh = _data_rows(tmp_lines)
+    if not fresh:
         tmp.unlink()
         print(f"{name}: produced no data rows — keeping the committed "
               "file", file=sys.stderr, flush=True)
+        return
+    target = DATA / name
+    old = _data_rows(target.read_text().splitlines()) \
+        if target.exists() else []
+    fresh_keys = {ln.split(",")[0] for ln in fresh}
+    kept = [ln for ln in old if ln.split(",")[0] not in fresh_keys]
+    header = tmp_lines[0]
+    target.write_text("\n".join([header] + fresh + kept) + "\n")
+    tmp.unlink()
+    print(f"{name}: merged {len(fresh)} fresh rows over {len(kept)} kept "
+          "committed rows", file=sys.stderr, flush=True)
 
 
 def cond16():
@@ -296,7 +311,12 @@ def ladder():
         if not done:
             f.write("kappa_target,kappa_measured,m,n,kappa2_est,tier,"
                     "orthogonality,residual,elapsed_time\n")
-        for k in range(0, 17, 2):
+        # through kappa=2^20 ~ 1e6: rungs past the robust tier's ~1e4
+        # ceiling land on tier 3 (iterated shifted CholQR, design range
+        # to the f32 limit ~1e7) — the committed table must show all
+        # four tiers occupied at their design kappa ranges (VERDICT r4
+        # ask 3)
+        for k in range(0, 21, 2):
             if str(2 ** k) in done:
                 continue
             try:

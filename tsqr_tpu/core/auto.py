@@ -95,12 +95,12 @@ def qr_auto(a: Array,
     # Fallback: the Householder tree with reorthogonalization — an input
     # that defeated CholeskyQR3 is exactly the extreme-kappa case where
     # single-pass CGS loses orthogonality.  The default impl stays "jnp":
-    # the round-2 crash (a full sb-tree program killing the remote-compile
-    # helper) was fixed in round 3 by routing INNER tree levels through the
-    # XLA path (tsqr.tree_impl="jnp"; leaf-only impl="pallas_sb" is green
-    # on-chip — tests/test_tpu_compiled.py::test_whole_tree_sb_leaves_
-    # compiled), but a safety net defaults to the configuration with the
-    # longest on-chip record.  Pass impl="pallas_sb" for ~7x faster leaves
+    # the sb-leaf tree compiles on-chip only within the T*L vreg budget
+    # (green at m=2^18/L=512; the m=2^20/L=2048 program SIGKILLed the
+    # remote-compile helper in rounds 2-4 — data/extras.csv error rows).
+    # Round 5 caps the tile pick at the proven budget
+    # (tsqr._pick_sb_tiles), so impl="pallas_sb" with leaf_rows <= 512
+    # (T=16) or 1024 (T=8) gives ~7x faster leaves
     # (ops/pallas_panel_sb.py) where fallback latency matters.
     qr_kw.setdefault("reorth", True)
     q, r = blockqr.qr(a, mode, **qr_kw)
@@ -180,12 +180,13 @@ def qr_auto_fused(a: Array,
     Tier 0 (shared, ~1 HBM pass): stream the Gram G = A^T A, Cholesky it,
     and bound kappa(A)^2 by ||G||_2 * ||(R1^T R1)^-1||_2 upper bounds
     from power-compounded inf-norms (`_psd_norm2_bound`:
-    ||X^4||_inf^{1/4} >= ||X||_2 for symmetric X, <= ||X||_inf by
+    ||X^16||_inf^{1/16} >= ||X||_2 for symmetric X, <= ||X||_inf by
     submultiplicativity), so the estimate NEVER under-reports
     kappa_2(A)^2 — the gate errs only toward the safer tier — while
-    overshooting true kappa^2 by only ~1.3-1.7x (the plain inf-norm
-    product overshot ~7x, taxing kappa ~2-13 inputs with the robust
-    tier unnecessarily).  A failed Cholesky yields NaN -> every gate is
+    overshooting true kappa^2 by at most n^{1/8} ~ 1.8x (round 4's
+    X^4 bound overshot 6.3x at kappa=4, est 101 vs true 16, taxing
+    kappa ~2-13 inputs with the robust tier; the sharpened bound admits
+    them to tier 1).  A failed Cholesky yields NaN -> every gate is
     False -> the ladder falls through to Householder.
 
     Tier 1 (fast): gate kappa2_est * eps_mode * safety < tol *before any

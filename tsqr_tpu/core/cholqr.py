@@ -304,27 +304,41 @@ def _inf_norm11(x: Array) -> Array:
     return jnp.max(jnp.sum(jnp.abs(x), axis=1), keepdims=True)[None]
 
 
-def _psd_norm2_bound(x: Array) -> Array:
+def _psd_norm2_bound(x: Array, squarings: int = 4) -> Array:
     """Rigorous upper bound on ||X||_2 for symmetric PSD X, (1,1)-shaped.
 
-    ||X||_2 = ||X^4||_2^{1/4} <= ||X^4||_inf^{1/4} (for symmetric
-    matrices the inf-norm dominates the spectral norm), and
-    submultiplicativity gives ||X^4||_inf^{1/4} <= ||X||_inf — power
-    compounding can only tighten the plain inf-norm bound, and it takes
-    the inf-vs-spectral overshoot (up to sqrt(n); ~2.6x per factor
-    measured on latms spectra at n=128) to its 4th root (~1.3x).  The
-    cost is two (n, n) MXU matmuls — noise against the m n^2 Gram that
-    produced X.  X is pre-scaled by its inf-norm so the 4th power can
-    neither overflow nor underflow at any input scale (the scaled PSD
-    matrix has max diagonal >= 1/n, so ||X_hat^4||_inf >= n^-4); a
-    scale of 0 or NaN propagates NaN, which every downstream gate reads
-    as False — the safe (Householder) direction.
+    ||X||_2 = ||X^(2^k)||_2^{1/2^k} <= ||X^(2^k)||_inf^{1/2^k} (for
+    symmetric matrices the inf-norm dominates the spectral norm), and
+    submultiplicativity means power compounding can only tighten the
+    plain inf-norm bound: the inf-vs-spectral overshoot (up to sqrt(n))
+    shrinks to its 2^k-th root.  Default k=4 (X^16): worst-case
+    overshoot n^{1/16} ~ 1.35x at n=128, measured ~1.02-1.2x on latms
+    spectra — sharp enough that the tier-1 gate no longer taxes
+    kappa ~ 2-13 inputs with the robust tier (round-4 ladder.csv showed
+    the k=2 bound overshooting 6.3x at kappa=4, est 101 vs true 16, and
+    the gate at ~21 routing a perfectly benign input to tier 2).  The
+    cost is ``squarings`` (n, n) MXU matmuls — noise against the m n^2
+    Gram that produced X.
+
+    Each squaring renormalizes by its inf-norm with the exponent
+    accounted into the scalar prefactor (X^16's raw inf-norm would hit
+    the f32 underflow floor: the scaled PSD matrix only guarantees
+    ||X_hat^16||_inf >= n^-16 ~ 1e-34 at n=128), so neither overflow
+    nor underflow is possible at any input scale or power.  A scale of
+    0 or NaN propagates NaN, which every downstream gate reads as False
+    — the safe (Householder) direction.
     """
     s = _inf_norm11(x)
+    b = s
     xh = x / s
-    x2 = modes.mm_fp32(xh, xh)
-    x4 = modes.mm_fp32(x2, x2)
-    return s * _inf_norm11(x4) ** 0.25
+    e = 0.5
+    for _ in range(squarings):
+        x2 = modes.mm_fp32(xh, xh)
+        t = _inf_norm11(x2)
+        xh = x2 / t
+        b = b * t ** e
+        e *= 0.5
+    return b
 
 
 # Effective Gram/apply epsilon per mode for the predictive gates:
@@ -976,7 +990,7 @@ def rand_cholqr(a: Array,
     but the failure signal is the residual, not orthogonality.  No
     reference
     analogue: the CUDA library's only deep-kappa answer is the
-    Householder path (/root/reference/src/tcqr32x16.cu).
+    Householder path (reference tcqr32x16.cu).
 
     Requires m >= 2n (the embedding needs l = embed·n <= m sketch rows;
     near-square inputs belong to the BlockQR/TSQR paths anyway).

@@ -109,7 +109,8 @@ def _batched_qr(a: Array, mm: Callable, block: int) -> tuple[Array, Array]:
     return jax.vmap(fn)(a)
 
 
-def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
+def _make_batched_qr(policy: modes.Policy, impl: str, block: int,
+                     sb_tiles: int | None = None) -> Callable:
     """Batched-QR factory: (B, rows, n) -> (Q (B,rows,n), R (B,n,n))."""
     if impl == "jnp":
         return lambda x: _batched_qr(x, policy.mm, block)
@@ -124,18 +125,16 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
             return qt.transpose(0, 2, 1), r
         return call
     if impl in ("pallas_sb", "pallas_sb_interpret"):
-        # sublane-batched multi-tile kernel: 8 tiles share one serial
+        # sublane-batched multi-tile kernel: T tiles share one serial
         # reflector chain (7x faster than the single-tile kernel at
         # 2^20 x 128, measured v5e).  Small/ragged batches (the top tree
         # levels) fall back to the vmapped XLA path — they are tiny.
         from tsqr_tpu.ops import pallas_panel_sb
 
         def call(x):
-            B = x.shape[0]
-            # 16 tiles/chain beats 8 when the batch allows it (23.5 vs
-            # 24.7 ms at 2^20 x 128, measured v5e)
-            T = 16 if B % 16 == 0 else pallas_panel_sb.DEFAULT_TILES
-            if B % T != 0:
+            B, L = x.shape[0], x.shape[1]
+            T = sb_tiles if sb_tiles else _pick_sb_tiles(B, L)
+            if T is None or B % T != 0:
                 return _batched_qr(x, policy.mm, block)
             qt, r = pallas_panel_sb.panel_qr_pallas_sb(
                 x, mode=policy.mode.value, block=block, tiles=T,
@@ -145,12 +144,38 @@ def _make_batched_qr(policy: modes.Policy, impl: str, block: int) -> Callable:
     raise ValueError(f"unknown impl {impl!r}")
 
 
+# Largest (tiles * leaf_rows) with an on-chip compile record for the sb
+# kernel.  The kernel's column chain is fully Python-unrolled (~n serial
+# steps over (T, L)-shaped values), so Mosaic's compile memory scales
+# with T*L/1024 vregs per live value times the unrolled op count: T=16,
+# L=512 (8 vregs/value) compiles green on the tunnel's remote-compile
+# helper (tests/test_tpu_compiled.py::test_whole_tree_sb_leaves_compiled
+# at m=2^18) while T=16, L=2048 (32 vregs/value) gets the helper
+# SIGKILLed (data/extras.csv error rows, rounds 2-4).
+SB_TL_BUDGET = 8192
+
+
+def _pick_sb_tiles(B: int, L: int) -> int | None:
+    """Tile count for the sb panel kernel, or None for the XLA fallback.
+
+    16 tiles/chain beats 8 when the batch allows it (23.5 vs 24.7 ms at
+    2^20 x 128, measured v5e), but only within the compile budget: T*L
+    <= SB_TL_BUDGET, above which the remote-compile helper has died on
+    every attempt.  Callers wanting a bigger config anyway (e.g. a
+    compile-probe script) pass ``sb_tiles`` explicitly."""
+    for T in (16, 8):
+        if B % T == 0 and T * L <= SB_TL_BUDGET:
+            return T
+    return None
+
+
 @diff.differentiable(unless=lambda b: (not b["want_q"])
                      or b["collect_level_q"])
 @functools.partial(jax.jit, static_argnames=("mode", "leaf_rows", "fanin",
                                              "leaf_qr", "impl", "block",
                                              "collect_level_q", "want_q",
-                                             "tree_impl", "seq_chunks"))
+                                             "tree_impl", "seq_chunks",
+                                             "sb_tiles"))
 def tsqr(a: Array,
          mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
          leaf_rows: int = DEFAULT_LEAF_ROWS,
@@ -161,7 +186,8 @@ def tsqr(a: Array,
          collect_level_q: bool = False,
          want_q: bool = True,
          tree_impl: str = "jnp",
-         seq_chunks: int | None = None):
+         seq_chunks: int | None = None,
+         sb_tiles: int | None = None):
     """Thin QR of a tall-skinny (m, n) matrix: returns (Q (m, n), R (n, n)).
 
     ≙ mtk::tsqr::tsqr16 (tsqr.hpp:108-140) generalized to n up to 128+.
@@ -194,6 +220,11 @@ def tsqr(a: Array,
         chunks to bound live leaf temps near LEAF_CHUNK_ELEMS — this is
         what lets the Householder tree (and the auto ladder's tier-3
         branch) fit HBM at m = 2^22 x 128 and beyond.
+      sb_tiles: tile count for the ``pallas_sb`` leaf kernel.  None
+        (default) auto-selects within the compile budget
+        (`_pick_sb_tiles`: T*L <= SB_TL_BUDGET, falling back to the XLA
+        leaf path above it); an explicit value forces that tile count
+        regardless — the compile-probe escape hatch.
       want_q: False compiles the forward-only (compute-R) program — the
         backward Q reconstruction (and any leaf Q build it alone consumes)
         is absent from the fused graph, returning (None, R).  This is both
@@ -209,7 +240,7 @@ def tsqr(a: Array,
     a = a.astype(jnp.float32)
     mm = policy.mm
     if leaf_qr is None:
-        leaf_qr = _make_batched_qr(policy, impl, block)
+        leaf_qr = _make_batched_qr(policy, impl, block, sb_tiles)
     batched_qr = _make_batched_qr(policy, tree_impl, block)
 
     bs, L, m_pad = plan_tree(m, n, leaf_rows, fanin)

@@ -13,7 +13,7 @@ end-to-end consumer of corrected-mode orthogonalization quality.
 
 Tall-skinny CCA is one of the communication-avoiding workloads the TSQR
 literature was built around; the CUDA reference stops at the QR API
-(mtk::qr::qr, /root/reference/src/blockqr.hpp:142-175) with no consumer
+(mtk::qr::qr, reference blockqr.hpp:142-175) with no consumer
 layer — this module is part of the model zoo the TPU build adds on top.
 """
 
