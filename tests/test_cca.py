@@ -4,12 +4,18 @@ Goldens are float64 numpy implementations of the same algorithm;
 correlations are basis-invariant so they compare directly (weights are
 only pinned through the variates they produce)."""
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tsqr_tpu.models import cca as cca_mod
+# the package re-exports the cca FUNCTION under the same name as the
+# submodule (flat API: models.cca(x, y)); import the module explicitly
+import tsqr_tpu.models.cca  # noqa: F401  (registers the submodule)
+
+cca_mod = sys.modules["tsqr_tpu.models.cca"]
 
 
 def _views(m, p, q, seed, shared=2, noise=0.1):

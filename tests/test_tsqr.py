@@ -114,3 +114,29 @@ def test_collect_level_q_instrumentation():
         worst = validation.multi_orthogonality(np.asarray(lvl, np.float64))
         assert worst < 1e-5
     assert validation.residual(a, np.asarray(q), np.asarray(r)) < 1e-6
+
+
+def test_pick_sb_tiles_budget():
+    # round-5 compile budget (SB_TL_BUDGET): tile picks must stay at or
+    # under the largest T*L with an on-chip compile record, preferring
+    # 16 tiles/chain when the batch and budget allow
+    assert tsqr_mod._pick_sb_tiles(512, 512) == 16
+    assert tsqr_mod._pick_sb_tiles(512, 1024) == 8
+    assert tsqr_mod._pick_sb_tiles(1024, 1024) == 8
+    assert tsqr_mod._pick_sb_tiles(512, 2048) is None   # the SIGKILL config
+    assert tsqr_mod._pick_sb_tiles(6, 512) is None      # ragged batch
+
+
+def test_sb_leaf_budget_fallback_runs_on_cpu():
+    # an over-budget sb config must fall back to the XLA leaf path
+    # instead of tracing a compiled Pallas kernel (which would raise on
+    # CPU): plan_tree(2^15, leaf 4096, fanin 8) -> B=8, L=4096 ->
+    # T=None.  Results must match the plain jnp tree bit-for-bit (same
+    # code path after the fallback).
+    a = _rand(1 << 15, 32, seed=3)
+    kw = dict(leaf_rows=4096, fanin=8, block=16)
+    q1, r1 = tsqr_mod.tsqr(jnp.asarray(a), "fp32", impl="pallas_sb", **kw)
+    q2, r2 = tsqr_mod.tsqr(jnp.asarray(a), "fp32", impl="jnp", **kw)
+    assert np.array_equal(np.asarray(q1), np.asarray(q2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert validation.residual(a, np.asarray(q1), np.asarray(r1)) < 2e-6
