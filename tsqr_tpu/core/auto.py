@@ -169,9 +169,9 @@ def qr_auto_fused(a: Array,
                   fast_variant: str = "safe",
                   mid_method: str | None = "cholqr3_fused",
                   mid_variant: str = "compact",
-                  impl: str = "jnp",
-                  leaf_rows: int = 2048,
-                  fanin: int = 8,
+                  impl: str | None = None,
+                  leaf_rows: int | None = None,
+                  fanin: int | None = None,
                   reorth: bool = True,
                   return_info: bool = False,
                   iter_tier: bool = True) -> tuple[Array, ...]:
@@ -228,6 +228,20 @@ def qr_auto_fused(a: Array,
     eps = _EPS_GATE.get(policy.mode, 1e-6)
     pmode = mode if isinstance(mode, modes.Policy) else policy.mode.value
     io = policy.io_dtype
+
+    # tier-4 tree config auto-resolution (round 5): on TPU the sb-leaf
+    # tree at leaf 1024 / fanin 4 (T=8, within the compile budget) runs
+    # 3.7x faster than the XLA tree — 41.7 vs 152.8 ms at 2^20 x 128,
+    # measured under identical conditions (data/extras.csv
+    # tree_sb[l1024f4] / tree_jnp_r5 rows).  Elsewhere (and whenever the
+    # caller overrides) the XLA tree remains the fallback; over-budget
+    # sb configs fall back leaf-wise inside tsqr (_pick_sb_tiles).
+    if impl is None:
+        impl = "pallas_sb" if jax.default_backend() == "tpu" else "jnp"
+    if leaf_rows is None:
+        leaf_rows = 1024 if impl == "pallas_sb" else 2048
+    if fanin is None:
+        fanin = 4 if impl == "pallas_sb" else 8
 
     n = a.shape[1]
     fused = (fast_method.endswith("_fused")
