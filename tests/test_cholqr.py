@@ -327,3 +327,28 @@ def test_cholqr_iter_max_shifted_bounds_work():
     a = jnp.asarray(np.concatenate([b, b], axis=1))  # exact rank 32
     q, r = cholqr.cholqr_iter(a, "fp32", max_shifted=3)
     assert q.shape == (1024, 64) and r.shape == (64, 64)
+
+
+def test_narrow_sublane_packing():
+    # round-5: narrow panels (n <= 64) run sublane-PACKED — (m, n)
+    # viewed as (m/p, p*n) with p = 128//n so every m-scale pass
+    # streams 128 lanes wide.  Pin the pack factors and that the packed
+    # pipelines keep full accuracy grade (incl. the zero-pad path when
+    # p does not divide m).
+    assert cholqr._pack_factor(4096, 16) == 8
+    assert cholqr._pack_factor(4096, 51) == 2
+    assert cholqr._pack_factor(4096, 64) == 2
+    assert cholqr._pack_factor(4096, 65) == 1   # wide enough already
+    assert cholqr._pack_factor(512, 16) == 1    # too few rows to matter
+    rng = np.random.default_rng(11)
+    for m in (4096, 4001):  # 4001: zero-pad path (8 does not divide m)
+        a = rng.uniform(-1, 1, (m, 16)).astype(np.float32)
+        for method in ("cholqr1", "cholqr2", "cholqr3"):
+            q, r = cholqr.fastqr(jnp.asarray(a), "bf16x6_cor",
+                                 method=method)
+            qn = np.asarray(q, np.float64)
+            rn = np.asarray(r, np.float64)
+            assert q.shape == (m, 16) and np.allclose(np.triu(rn), rn)
+            assert validation.residual(a, qn, rn) < 2e-6
+            assert (np.linalg.norm(qn.T @ qn - np.eye(16)) / 4.0
+                    < (5e-5 if method == "cholqr1" else 1e-5))

@@ -94,6 +94,73 @@ def _q_pass(a: Array, r: Array, mm: Callable) -> Array:
     return mm(a, rinv)
 
 
+# ---- sublane packing for narrow panels (n <= 64) ---------------------------
+# The TPU vector lane is 128 wide: an (m, 16) stream uses 16/128 of every
+# vreg and the MXU contracts 16-deep — the XLA CholQR paths measured ~57x
+# off the HBM roofline at the reference's FLAGSHIP n=16 axis (119.6 ms at
+# 2^23 x 16 where ~3 streaming passes cost ~3 ms).  Fix: view the panel
+# as (m/p, p*n) with p = 128//n — row r of the packed view is rows
+# p*r .. p*r+p-1 of A concatenated (a free row-major reshape).  Then
+#   * Gram: A^T A = sum of the p diagonal (n, n) blocks of the packed
+#     Gram (off-diagonal blocks correlate different row offsets and are
+#     simply discarded — the packed Gram pass itself runs 128 lanes
+#     wide at full stream rate);
+#   * apply: Q = A R^{-1} packs as Qp = Ap @ kron(I_p, R^{-1}), a
+#     (p n, p n) GEMM operand — the m-scale stream again 128 lanes wide.
+# Zero-padding m to a multiple of p is exact (zero rows contribute
+# nothing to G and produce zero Q rows).  Each packed dot product sums
+# the same n terms as the unpacked one (kron's off-block zeros are
+# exact in every mode's split arithmetic), so accuracy grade is
+# unchanged; the Gram's p-way partial-sum regrouping only helps.
+
+def _pack_factor(m: int, n: int) -> int:
+    """p >= 2 when packing pays: narrow panel, enough rows to matter."""
+    if n > 64 or m < 1024:
+        return 1
+    return max(1, 128 // n)
+
+
+def _pack(a32: Array, p: int) -> Array:
+    m, n = a32.shape
+    m_pad = -(-m // p) * p
+    if m_pad != m:
+        a32 = jnp.pad(a32, ((0, m_pad - m), (0, 0)))
+    return a32.reshape(m_pad // p, p * n)
+
+
+def _unpack(qp: Array, p: int, m: int, n: int) -> Array:
+    return qp.reshape(qp.shape[0] * p, n)[:m]
+
+
+def _gram_packed(ap: Array, policy: modes.Policy, p: int, n: int) -> Array:
+    gp = modes.gram(ap, policy)
+    if p == 1:
+        return gp
+    # sum of the p diagonal (n, n) blocks
+    return jnp.sum(jnp.diagonal(gp.reshape(p, n, p, n), axis1=0,
+                                axis2=2), axis=-1)
+
+
+def _q_pass_packed(ap: Array, r: Array, mm: Callable, p: int) -> Array:
+    rinv = _rinv(r.astype(jnp.float32))
+    if p == 1:
+        return mm(ap, rinv)
+    return mm(ap, jnp.kron(jnp.eye(p, dtype=rinv.dtype), rinv))
+
+
+def _cholqr2_core(ap: Array, policy: modes.Policy, p: int,
+                  n: int) -> tuple[Array, Array]:
+    """Two CholeskyQR iterations on a (possibly packed) panel view."""
+    mm = policy.mm
+    g = _gram_packed(ap, policy, p, n)
+    r1 = _chol_r(g)
+    q1 = _q_pass_packed(ap, r1, mm, p)
+    g2 = _gram_packed(q1, policy, p, n)
+    r2 = _chol_r(g2)
+    q = _q_pass_packed(q1, r2, mm, p)
+    return q, jnp.triu(modes.mm_fp32(r2, r1))
+
+
 def cholqr1(a: Array,
             mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
             ) -> tuple[Array, Array]:
@@ -109,9 +176,14 @@ def cholqr1(a: Array,
     """
     policy = modes.resolve(mode)
     a32 = a.astype(jnp.float32)
-    g = modes.gram(a32, policy)
+    m, n = a32.shape
+    p = _pack_factor(m, n)
+    ap = _pack(a32, p) if p > 1 else a32
+    g = _gram_packed(ap, policy, p, n)
     r = _chol_r(g)
-    q = _q_pass(a32, r, policy.mm)
+    q = _q_pass_packed(ap, r, policy.mm, p)
+    if p > 1:
+        q = _unpack(q, p, m, n)
     return q.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
 
 
@@ -197,15 +269,13 @@ def cholqr2(a: Array,
     Householder tsqr for worse conditioning.
     """
     policy = modes.resolve(mode)
-    mm = policy.mm
     a = a.astype(jnp.float32)
-    g = modes.gram(a, policy)
-    r1 = _chol_r(g)
-    q1 = _q_pass(a, r1, mm)
-    g2 = modes.gram(q1, policy)
-    r2 = _chol_r(g2)
-    q = _q_pass(q1, r2, mm)
-    r = jnp.triu(modes.mm_fp32(r2, r1))
+    m, n = a.shape
+    p = _pack_factor(m, n)
+    ap = _pack(a, p) if p > 1 else a
+    q, r = _cholqr2_core(ap, policy, p, n)
+    if p > 1:
+        q = _unpack(q, p, m, n)
     return q.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
@@ -223,10 +293,14 @@ def cholqr3(a: Array,
     mm = policy.mm
     a = a.astype(jnp.float32)
     m, n = a.shape
-    g = modes.gram(a, policy)
+    p = _pack_factor(m, n)
+    ap = _pack(a, p) if p > 1 else a
+    g = _gram_packed(ap, policy, p, n)
     r1 = _chol_r(g, shift=_shift_value(g, m, n))
-    q1 = _q_pass(a, r1, mm)
-    q2, r2 = cholqr2(q1, policy)
+    q1 = _q_pass_packed(ap, r1, mm, p)
+    q2, r2 = _cholqr2_core(q1, policy, p, n)
+    if p > 1:
+        q2 = _unpack(q2, p, m, n)
     r = jnp.triu(modes.mm_fp32(r2.astype(jnp.float32), r1))
     return q2.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
