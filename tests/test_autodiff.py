@@ -173,13 +173,24 @@ def test_grad_through_ladder_deep_kappa():
     # lax.while_loop, which has no reverse-mode rule): the custom_vjp
     # at the entry boundary is what makes this differentiable at all
     m, n = 2048, 24
-    a, _ = latms.rand_matrix_with_cond(jax.random.PRNGKey(3), m, n, 3e5)
-    a = a.astype(jnp.float32)
+    # Tiers 2-3 self-gate on *measured* orthogonality, so the kappa that
+    # first overwhelms the shifted-CholQR3 tier is platform-dependent
+    # (true-f32 CPU Gram survives deeper kappa than the TPU's bf16-grade
+    # default matmul).  Probe upward until the ladder actually takes the
+    # while_loop tier rather than hardcoding one kappa.
+    a = info = None
+    for kappa in (3e5, 1e6, 3e7, 3e8):
+        cand, _ = latms.rand_matrix_with_cond(
+            jax.random.PRNGKey(3), m, n, kappa)
+        cand = cand.astype(jnp.float32)
+        _, _, cinfo = qr_auto_fused(cand, "fp32", return_info=True)
+        if int(cinfo["tier"][0, 0]) >= 3:
+            a, info = cand, cinfo
+            break
+    assert info is not None, "no probed kappa reached the iterated tier"
     rng = np.random.default_rng(3)
     w1 = jnp.asarray(rng.uniform(-1, 1, (m, n)).astype(np.float32))
     w2 = jnp.asarray(rng.uniform(-1, 1, (n, n)).astype(np.float32))
-    _, _, info = qr_auto_fused(a, "fp32", return_info=True)
-    assert int(info["tier"][0, 0]) >= 3
     g = jax.grad(_loss_of(lambda x: qr_auto_fused(x, "fp32"), w1, w2))(a)
     g_ref = jax.grad(_loss_of(jnp.linalg.qr, w1, w2))(a)
     # eps-grade (Q, R) from the iterated tier => the adjoint tracks the
