@@ -46,7 +46,8 @@ def time_fn(fn: Callable, inputs: Sequence, iters: int = 4,
     return best
 
 
-def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3) -> float:
+def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3,
+                      resolution_nan: bool = False) -> float:
     """Seconds per call of fn(x), amortizing dispatch latency.
 
     Chains ``loops`` applications inside ONE jitted program, serialized by
@@ -105,11 +106,21 @@ def time_fn_amortized(fn: Callable, x, loops: int = 10, reps: int = 3) -> float:
     # null chain with a trivial body: measures dispatch + scan + the
     # carry-touch overhead, subtracted so t reflects fn alone
     t_null = best_of(make_chain(lambda x0: x0.ravel()[:1] * 1.0))
-    return max((t_chain - t_null) / loops, 1e-9)
+    active = t_chain - t_null
+    if resolution_nan and active < 0.05 * t_null:
+        # The chain's active time is within the dispatch-jitter band of
+        # the null chain (tunnel jitter ~1-2 ms against a ~30 ms round
+        # trip): the subtraction is noise, not a measurement.  Evidence
+        # writers opt in to NaN so no fabricated sub-nanosecond rows can
+        # reach a CSV (round-4 perf_m16 had 1e-9 rows implying 783
+        # TFLOP/s at 512x16); raise `loops` until active/null >= 5 %.
+        return float("nan")
+    return max(active / loops, 1e-9)
 
 
 def time_fn_distinct(fn: Callable, xs: Sequence, reps: int = 3,
-                     serialize: bool = True) -> float:
+                     serialize: bool = True,
+                     resolution_nan: bool = False) -> float:
     """Seconds per call of fn over K DISTINCT resident inputs.
 
     The dus-carry chain (time_fn_amortized) mis-measures programs that
@@ -168,12 +179,16 @@ def time_fn_distinct(fn: Callable, xs: Sequence, reps: int = 3,
 
     t_chain = best_of(chained)
     t_null = best_of(null)
-    return max((t_chain - t_null) / len(xs), 1e-9)
+    active = t_chain - t_null
+    if resolution_nan and active < 0.05 * t_null:
+        return float("nan")  # see time_fn_amortized: jitter, not signal
+    return max(active / len(xs), 1e-9)
 
 
 def time_fn_amortized_auto(fn: Callable, x, reps: int = 3,
                            min_active: float = 0.15,
-                           max_loops: int = 64) -> tuple[float, int]:
+                           max_loops: int = 4096,
+                           resolution_nan: bool = False) -> tuple[float, int]:
     """time_fn_amortized with loops auto-scaled to the kernel's speed.
 
     The null-subtraction is only as good as the tunnel's dispatch jitter
@@ -187,7 +202,11 @@ def time_fn_amortized_auto(fn: Callable, x, reps: int = 3,
     Returns (seconds_per_call, loops_used).
     """
     probe_loops = 4
-    t_est = time_fn_amortized(fn, x, loops=probe_loops, reps=2)
+    t_est = time_fn_amortized(fn, x, loops=probe_loops, reps=2,
+                              resolution_nan=resolution_nan)
+    if t_est != t_est:  # probe below resolution: assume microsecond-class
+        t_est = 1e-6
     loops = max(probe_loops,
                 min(max_loops, int(-(-min_active // max(t_est, 1e-6)))))
-    return time_fn_amortized(fn, x, loops=loops, reps=reps), loops
+    return time_fn_amortized(fn, x, loops=loops, reps=reps,
+                             resolution_nan=resolution_nan), loops
