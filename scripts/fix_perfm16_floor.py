@@ -57,9 +57,10 @@ from tsqr_tpu.core import blockqr, cholqr, tsqr as tsqr_mod
 from tsqr_tpu.harness import flops as flops_mod
 from tsqr_tpu.utils import timing
 
-m, n = spec["m"], 16
-a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
-for label in spec["labels"]:
+n = 16
+for m, labels in spec["jobs"]:
+  a = jax.random.uniform(jax.random.PRNGKey(0), (m, n), jnp.float32, -1, 1)
+  for label in labels:
     try:
         if label in ("fp32", "bf16x6_cor"):   # Householder-tree BlockQR
             policy = modes.resolve(label)
@@ -168,31 +169,46 @@ def main() -> None:
             print(f"would measure m=2^{m.bit_length()-1}: {labels}")
         return
 
-    results = {}
+    # batch several m per subprocess (the ~40 s backend init dominates
+    # tiny-shape children); cap the per-batch element budget so a wedge
+    # or OOM costs one bounded batch
+    batches, cur, cur_elems = [], [], 0
     for m, labels in sorted(todo.items()):
-        spec = {"m": m, "labels": labels, "packed": PACKED_LABELS}
-        print(f"=== m=2^{m.bit_length()-1}: {labels}", flush=True)
+        if cur and cur_elems + m * N > (1 << 25):
+            batches.append(cur)
+            cur, cur_elems = [], 0
+        cur.append([m, labels])
+        cur_elems += m * N
+    if cur:
+        batches.append(cur)
+
+    results = {}
+    for jobs in batches:
+        spec = {"jobs": jobs, "packed": PACKED_LABELS}
+        names = [f"2^{m.bit_length()-1}" for m, _ in jobs]
+        print(f"=== batch m={names}", flush=True)
         lock_acquire()
         try:
             res = subprocess.run(
                 [sys.executable, "-u", "-c", CHILD, str(ROOT),
                  json.dumps(spec)],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True, timeout=2100,
                 env=dict(os.environ))
         except subprocess.TimeoutExpired:
-            print(f"m={m}: child timeout — keeping old rows", flush=True)
+            print(f"batch {names}: child timeout — keeping old rows",
+                  flush=True)
             continue
         finally:
             lock_release()
         for ln in res.stdout.splitlines():
             if ln.startswith("ROW "):
                 row = ln[4:]
-                results[(m, row.split(",")[3])] = row
+                results[(int(row.split(",")[0]), row.split(",")[3])] = row
                 print("  " + row, flush=True)
             elif ln.startswith(("SKIP", "ERR")):
                 print("  " + ln, flush=True)
-        if res.returncode != 0 and not results:
-            print(f"m={m}: child rc={res.returncode} "
+        if res.returncode != 0:
+            print(f"batch {names}: child rc={res.returncode} "
                   f"stderr tail: {res.stderr.strip()[-300:]}", flush=True)
 
     out_lines = [header]
