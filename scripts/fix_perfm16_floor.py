@@ -129,7 +129,14 @@ def main() -> None:
             keep.append(("comment", ln))
             continue
         p = ln.split(",")
-        m, label, elapsed = int(p[0]), p[3], float(p[5])
+        try:
+            m, label, elapsed = int(p[0]), p[3], float(p[5])
+        except (ValueError, IndexError):
+            # stray continuation lines from multi-line error messages a
+            # previous campaign wrote raw into the CSV: drop them (the
+            # one-line "# error" head above them is kept)
+            print(f"drop junk line: {ln!r}", flush=True)
+            continue
         key = (m, label)
         if elapsed <= 1e-8:
             print(f"drop fabricated: {ln}", flush=True)

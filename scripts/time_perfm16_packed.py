@@ -91,8 +91,9 @@ def main() -> None:
                     f.flush()
                     print(f"m=2^{k} {label}: {rows[-1]}", flush=True)
                 except Exception as e:
+                    note = " ".join(str(e).split())[:200]  # CSV = 1 line
                     f.write(f"# error {label} m={m}: {type(e).__name__}: "
-                            f"{str(e)[:200]}\n")
+                            f"{note}\n")
                     f.flush()
                     print(f"m=2^{k} {label} FAILED: {e}", flush=True)
 
