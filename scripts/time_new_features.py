@@ -137,16 +137,18 @@ def main():
         # the submodule.
         from tsqr_tpu.models.cca import cca as cca_fn
         yb = jnp.asarray(rng.uniform(-1, 1, (m, 64)).astype(np.float32))
-        # impl="jnp" pins the (untaken) tier-4 branches to the XLA tree:
-        # with the sb default, the TWO-ladder program's serialized HLO
-        # (two distinct inline Mosaic tree kernels at n=128 and n=64)
-        # exceeds the tunnel's remote-compile request-size cap (HTTP
-        # 413, measured 2026-08-20).  The measured m-scale time is
-        # identical — tier 4 never runs on these inputs.
-        cf = jax.jit(lambda x, y: cca_fn(x, y, mode=MODE, impl="jnp")[0])
+        # method="cholqr2": even with impl="jnp" the TWO inline tree
+        # programs serialized into one HLO exceed the tunnel's
+        # remote-compile request-size cap (HTTP 413, measured twice
+        # 2026-08-20); the pure-GEMM route keeps the whole CCA one
+        # compact program with identical m-scale cost on these
+        # well-conditioned views (kappa(uniform) ~ 2).
+        cf = jax.jit(lambda x, y: cca_fn(x, y, mode=MODE,
+                                         method="cholqr2")[0])
         t_c = timing.time_fn_amortized(lambda x: cf(x, yb), a)
         row("cca_128x64", m, n, t_c,
-            note=f"two QRs + small SVD; {t_c / t_f:.2f}x ladder fwd")
+            note=f"two QRs + small SVD (cholqr2 route); "
+                 f"{t_c / t_f:.2f}x ladder fwd")
     section(("cca_128x64",), cca_row)
 
     def vmap_row():

@@ -123,3 +123,21 @@ def test_cca_shape_errors():
     y = jnp.zeros((32, 4))
     with pytest.raises(ValueError):
         cca_mod.cca(x, y)
+
+
+def test_cca_method_routes_agree():
+    # the compact pure-GEMM and ladder routes must match the tree route
+    # (added when the two-inline-tree program hit a remote-compile
+    # request-size cap on the tunneled TPU — the cholqr2 route is the
+    # one-compact-program alternative)
+    x64, y64 = _views(4096, 16, 12, 9)
+    x, y = jnp.asarray(x64, jnp.float32), jnp.asarray(y64, jnp.float32)
+    c_t, _, _ = cca_mod.cca(x, y)
+    for method in ("cholqr2", "auto"):
+        c_m, wx, wy = cca_mod.cca(x, y, method=method)
+        np.testing.assert_allclose(np.asarray(c_m), np.asarray(c_t),
+                                   atol=1e-5)
+        u = x64 @ np.asarray(wx, np.float64)
+        v = y64 @ np.asarray(wy, np.float64)
+        np.testing.assert_allclose(u.T @ v, np.diag(np.asarray(c_m)),
+                                   atol=1e-4)

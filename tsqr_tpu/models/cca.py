@@ -30,7 +30,7 @@ Array = jax.Array
 
 def cca(x: Array, y: Array, rank: int | None = None,
         mode: modes.ComputeMode | str = "fp32", center: bool = False,
-        mesh=None, **qr_kw) -> tuple[Array, Array, Array]:
+        mesh=None, method: str = "tsqr", **qr_kw) -> tuple[Array, Array, Array]:
     """Canonical correlations of two tall design matrices.
 
     Args:
@@ -70,8 +70,23 @@ def cca(x: Array, y: Array, rank: int | None = None,
         y = y - jnp.mean(y, axis=0, keepdims=True)
 
     if mesh is None:
-        qx, rx = tsqr_mod.tsqr(x, mode, **qr_kw)
-        qy, ry = tsqr_mod.tsqr(y, mode, **qr_kw)
+        if method == "tsqr":
+            qx, rx = tsqr_mod.tsqr(x, mode, **qr_kw)
+            qy, ry = tsqr_mod.tsqr(y, mode, **qr_kw)
+        elif method == "auto":
+            from tsqr_tpu.core import auto
+            qx, rx = auto.qr_auto_fused(x, mode, **qr_kw)
+            qy, ry = auto.qr_auto_fused(y, mode, **qr_kw)
+        else:
+            # compact pure-GEMM program: a CCA with BOTH views through
+            # the inline Householder tree serializes two distinct tree
+            # programs into one HLO, which can exceed a remote-compile
+            # transport's request-size cap; cholqr2/cholqr3 keep the
+            # whole CCA a handful of GEMMs (same m-scale cost on
+            # well-conditioned views)
+            from tsqr_tpu.core import cholqr
+            qx, rx = cholqr.fastqr(x, mode, method=method, **qr_kw)
+            qy, ry = cholqr.fastqr(y, mode, method=method, **qr_kw)
     else:
         from tsqr_tpu.parallel import dtsqr
         qx, rx = dtsqr.dqr_auto(x, mesh, mode, **qr_kw)
