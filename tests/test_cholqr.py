@@ -47,7 +47,12 @@ def test_auto_routes_extreme_cond_past_fixed_gram():
     a, measured = latms.rand_matrix_with_cond(key, 2048, 48, 1e6)
     assert measured > 0.9e6
     q, r, method = auto.qr_auto(a, "fp32", leaf_rows=256)
-    assert method == "cholqr_iter"
+    # the escalation rung is picked by MEASURED orthogonality, so which
+    # robust tier wins at kappa=1e6 is platform-dependent (true-f32 CPU
+    # Gram lets shifted CholQR3 pass where the TPU's bf16-grade default
+    # matmul needs the iterated tier); what must hold is that the fast
+    # fixed-Gram tiers were escalated past, and orthogonality (below)
+    assert method in ("cholqr_iter", "cholqr3", "blockqr_tsqr")
     q = np.asarray(q, np.float64)
     assert validation.orthogonality(q) < 1e-5
     assert validation.residual(np.asarray(a), q, np.asarray(r)) < 1e-3

@@ -181,8 +181,10 @@ def test_auto_falls_back_on_extreme_condition():
     q, r, used = auto.qr_auto(a, "fp32", leaf_rows=256)
     assert validation.orthogonality(np.asarray(q, np.float64)) < 1e-5
     # whichever path was used, the result must be orthogonal; on this
-    # conditioning the fast path usually misses tolerance and falls back
-    assert used in ("cholqr3", "blockqr_tsqr")
+    # conditioning the fast path misses tolerance and escalates — to
+    # the shifted-QR3, iterated, or tree rung depending on the
+    # platform's measured gates
+    assert used in ("cholqr3", "cholqr_iter", "blockqr_tsqr")
     assert validation.residual(np.asarray(a), np.asarray(q),
                                np.asarray(r)) < 1e-4
 
