@@ -187,6 +187,17 @@ def main():
     if os.environ.get("BENCH_SKIP_LOCK") != "1":
         acquire_chip_lock()
         atexit.register(release_chip_lock)
+        # atexit does not run on SIGTERM (e.g. `timeout` killing a
+        # wedged run), which would strand the lock and stall the NEXT
+        # bench invocation behind the 300 s priority window — release
+        # on TERM explicitly
+        import signal
+
+        def _on_term(signum, frame):
+            release_chip_lock()
+            sys.exit(143)
+
+        signal.signal(signal.SIGTERM, _on_term)
     # fail fast on a wedged tunnel, with a bounded probe window: a
     # healthy tunnel answers in <30 s.  BENCH_r03/r04 both burned the
     # driver's whole budget (rc=124) — r04 spent ~12 min probing and
@@ -225,11 +236,14 @@ def main():
               f"(rc={p.returncode})", file=sys.stderr, flush=True)
         return None
 
-    # primary ladder, CHEAPEST first (2^20/K=6 is the proven-fit config:
-    # 28.06 TFLOP/s committed in data/robust.csv); the no-iter entry is
-    # the compile-safety valve (drops the while_loop tier)
-    primary = ((1 << 20, 6, ()), (1 << 20, 3, ()),
-               (1 << 20, 6, ("--no-iter",)), (1 << 19, 6, ()))
+    # primary ladder, CHEAPEST first.  K=3 leads: on 2026-08-20 the
+    # K=6 config timed out at 600 s on a slow tunnel phase while K=3
+    # completed AND measured faster (30.54 TFLOP/s, orth 1.26e-7,
+    # chain13 log) — smaller resident set, same distinct-inputs
+    # elision-proof harness.  The no-iter entry is the compile-safety
+    # valve (drops the while_loop tier).
+    primary = ((1 << 20, 3, ()), (1 << 20, 6, ()),
+               (1 << 20, 3, ("--no-iter",)), (1 << 19, 6, ()))
     result = None
     for m, k, extra in primary:
         try:
