@@ -357,3 +357,38 @@ def test_narrow_sublane_packing():
             assert validation.residual(a, qn, rn) < 2e-6
             assert (np.linalg.norm(qn.T @ qn - np.eye(16)) / 4.0
                     < (5e-5 if method == "cholqr1" else 1e-5))
+
+
+def test_qr_packed_matches_unpacked():
+    # packed-IO contract: qr_packed on the pack_panel view must equal
+    # fastqr on the unpacked panel (same algorithms, no pack/unpack
+    # round trips in the middle), including the ragged-m zero-pad case
+    from tsqr_tpu.core import cholqr as cq
+    for m, n, method, mode, tol in [(4096, 16, "cholqr2", "fp32", 1e-6),
+                                    (4096, 32, "cholqr1", "bf16", 1e-2),
+                                    (1000, 16, "cholqr3", "fp32", 1e-6),
+                                    (4096, 16, "cholqr2", "bf16x6_cor", 1e-6)]:
+        key = jax.random.PRNGKey(m + n)
+        a = jax.random.uniform(key, (m, n), jnp.float32, -1, 1)
+        ap = cq.pack_panel(a)
+        qp, r = cq.qr_packed(ap, n, mode, method=method)
+        q = cq.unpack_panel(qp, m, n)
+        q64, r64 = np.asarray(q, np.float64), np.asarray(r, np.float64)
+        a64 = np.asarray(a, np.float64)
+        assert validation.orthogonality(q64) < 10 * tol, (m, n, method)
+        assert (np.linalg.norm(a64 - q64 @ np.triu(r64))
+                / np.linalg.norm(a64)) < 10 * tol, (m, n, method)
+        qu, ru = cq.fastqr(a, mode, method=method)
+        np.testing.assert_allclose(q64, np.asarray(qu, np.float64),
+                                   atol=5 * tol, rtol=0)
+        np.testing.assert_allclose(r64, np.asarray(ru, np.float64),
+                                   atol=5 * tol * np.abs(r64).max(), rtol=0)
+
+
+def test_qr_packed_rejects_bad_width():
+    from tsqr_tpu.core import cholqr as cq
+    ap = jnp.zeros((64, 120))
+    with pytest.raises(ValueError):
+        cq.qr_packed(ap, 16, "fp32")
+    with pytest.raises(ValueError):
+        cq.pack_panel(jnp.zeros((256, 80)))

@@ -20,11 +20,13 @@ Public API (≙ reference public headers blockqr.hpp / tsqr.hpp / tcqr.hpp):
 from tsqr_tpu.modes import ComputeMode, Policy, resolve
 from tsqr_tpu.core.tsqr import tsqr
 from tsqr_tpu.core.blockqr import qr
-from tsqr_tpu.core.cholqr import fastqr, fastqr_inplace
+from tsqr_tpu.core.cholqr import (fastqr, fastqr_inplace, pack_panel,
+                                  qr_packed, unpack_panel)
 from tsqr_tpu.core.auto import qr_auto, qr_auto_fused
 from tsqr_tpu.ops.panel_qr import panel_qr
 
 __version__ = "0.2.0"
 
 __all__ = ["ComputeMode", "Policy", "resolve", "tsqr", "qr", "fastqr",
-           "fastqr_inplace", "qr_auto", "qr_auto_fused", "panel_qr", "__version__"]
+           "fastqr_inplace", "qr_auto", "qr_auto_fused", "panel_qr",
+           "pack_panel", "qr_packed", "unpack_panel", "__version__"]

@@ -305,6 +305,76 @@ def cholqr3(a: Array,
     return q2.astype(policy.io_dtype), r.astype(policy.io_dtype)
 
 
+def pack_panel(a: Array) -> Array:
+    """Pack a narrow (m, n <= 64) panel into its (ceil(m/p), p*n) sublane
+    view, p = 128 // n — the layout the TPU actually streams at full
+    rate.
+
+    An (m, n) array's minor axis is physically padded to 128 lanes, so
+    every HBM pass over the UNPACKED layout moves 128/n times the
+    logical bytes (measured: a plain f32->bf16 cast of a 2^20 x 16
+    panel runs at ~80 GB/s logical vs ~800 GB/s for the packed view —
+    docs/ROUND5.md profile).  Pipelines that keep panels packed
+    end-to-end (`qr_packed`) skip that floor entirely; pack once at the
+    boundary, unpack once at the end (each pays the padded read/write
+    exactly once, which is unavoidable for unpacked IO).
+    """
+    m, n = a.shape
+    if n > 64:
+        raise ValueError(f"pack_panel wants n <= 64, got n={n}")
+    return _pack(a.astype(jnp.float32), 128 // n)
+
+
+def unpack_panel(qp: Array, m: int, n: int) -> Array:
+    """Inverse of `pack_panel`: (rows, p*n) -> (m, n), dropping pad rows."""
+    p = qp.shape[1] // n
+    return _unpack(qp, p, m, n)
+
+
+def qr_packed(ap: Array, n: int,
+              mode: modes.ComputeMode | str | modes.Policy = modes.ComputeMode.FP32,
+              method: str = "cholqr2") -> tuple[Array, Array]:
+    """Thin QR of a sublane-PACKED tall-skinny panel, packed IO.
+
+    ``ap`` is the (rows, p*n) view from `pack_panel` of an (m, n) panel
+    (row r holds rows p*r..p*r+p-1 of A side by side); returns
+    ``(qp, r)`` with Q in the same packed layout and R (n, n) upper
+    triangular.  All m-scale passes run 128 lanes wide with no padded
+    traffic — on the n=16 axis this is the difference between the
+    ~1.3 ms padded-layout floor and ~0.2 ms true streams at 2^20 x 16
+    (the reference's flagship sweep, main.cu m x 16 panels; its CUDA
+    kernels never pay this because gmem has no lane padding — on TPU
+    the packed contract is the equivalent design).
+
+    Methods: "cholqr1" (bf16-grade, 1 Gram pass), "cholqr2"
+    (fp32-grade, kappa <~ 4e3), "cholqr3" (shifted, kappa <~ 2e4).
+    Zero pad rows (from m % p != 0) are exact: they contribute nothing
+    to any Gram and stay zero in Q.
+    """
+    policy = modes.resolve(mode)
+    rows, pn = ap.shape
+    if pn % n:
+        raise ValueError(f"packed width {pn} not a multiple of n={n}")
+    p = pn // n
+    ap = ap.astype(jnp.float32)
+    if method == "cholqr1":
+        g = _gram_packed(ap, policy, p, n)
+        r = _chol_r(g)
+        qp = _q_pass_packed(ap, r, policy.mm, p)
+        return qp.astype(policy.io_dtype), jnp.triu(r).astype(policy.io_dtype)
+    if method == "cholqr2":
+        qp, r = _cholqr2_core(ap, policy, p, n)
+        return qp.astype(policy.io_dtype), r.astype(policy.io_dtype)
+    if method == "cholqr3":
+        g = _gram_packed(ap, policy, p, n)
+        r1 = _chol_r(g, shift=_shift_value(g, rows * p, n))
+        q1 = _q_pass_packed(ap, r1, policy.mm, p)
+        q2, r2 = _cholqr2_core(q1, policy, p, n)
+        r = jnp.triu(modes.mm_fp32(r2.astype(jnp.float32), r1))
+        return q2.astype(policy.io_dtype), r.astype(policy.io_dtype)
+    raise ValueError(f"qr_packed: unknown method {method!r}")
+
+
 def _rinv(r: Array) -> Array:
     n = r.shape[-1]
     return jax.scipy.linalg.solve_triangular(
