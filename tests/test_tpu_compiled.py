@@ -341,3 +341,21 @@ def test_skeletons_compiled():
     rec = (an[:, np.asarray(c_)] @ np.asarray(u_, np.float64)
            @ an[np.asarray(r_), :])
     assert np.linalg.norm(rec - an) / np.linalg.norm(an) < 1e-3
+
+
+def test_qr_packed_compiled():
+    # packed-IO narrow-panel contract on-chip: the (m/8, 128) view must
+    # factor at full lane width with fastqr-parity results
+    import tsqr_tpu
+    from tsqr_tpu.utils import validation
+    m, n = 1 << 18, 16
+    a = jax.random.uniform(jax.random.PRNGKey(31), (m, n), jnp.float32,
+                           -1, 1)
+    ap = tsqr_tpu.pack_panel(a)
+    qp, r = jax.jit(lambda x: tsqr_tpu.qr_packed(x, n, "bf16x6_cor",
+                                                 method="cholqr2"))(ap)
+    q64 = np.asarray(tsqr_tpu.unpack_panel(qp, m, n), np.float64)
+    a64 = np.asarray(a, np.float64)
+    assert validation.orthogonality(q64) < 1e-5
+    assert (np.linalg.norm(a64 - q64 @ np.triu(np.asarray(r, np.float64)))
+            / np.linalg.norm(a64)) < 1e-5
